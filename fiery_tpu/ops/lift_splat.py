@@ -1,0 +1,109 @@
+"""Camera-to-BEV lifting (Lift-Splat) as static-shape XLA ops.
+
+TPU-first redesign of the reference voxel pooling
+(/root/reference/fiery/models/fiery.py:109-128, 193-273 and utils/geometry.py:283-314):
+the reference masks, boolean-compacts and sorts a *data-dependent* point set per batch
+element inside a python loop, with a custom cumsum-trick autograd Function. Here every
+point keeps a fixed slot: out-of-bounds points are routed to a dump bin and the splat is
+a single fixed-shape ``segment_sum`` (scatter-add) per sample, vmapped over the batch.
+The gradient is the corresponding gather, handled by JAX autodiff — no custom VJP needed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def create_frustum(final_dim, downsample, d_bound):
+    """Fixed (D, h, w, 3) grid of (u, v, depth) image-plane points.
+
+    Reference: models/fiery.py:109-128.
+    """
+    H, W = final_dim
+    h, w = H // downsample, W // downsample
+    depth_grid = np.arange(d_bound[0], d_bound[1], d_bound[2], dtype=np.float32)
+    D = depth_grid.shape[0]
+    x_grid = np.linspace(0, W - 1, w, dtype=np.float32)
+    y_grid = np.linspace(0, H - 1, h, dtype=np.float32)
+    frustum = np.stack(
+        np.broadcast_arrays(
+            x_grid[None, None, :], y_grid[None, :, None], depth_grid[:, None, None]
+        ),
+        axis=-1,
+    )  # (D, h, w, 3) — (u, v, depth)
+    return frustum
+
+
+def get_geometry(frustum, intrinsics, extrinsics):
+    """Unproject frustum points to the ego frame.
+
+    frustum: (D, h, w, 3); intrinsics: (..., N, 3, 3); extrinsics: (..., N, 4, 4)
+    Returns (..., N, D, h, w, 3) ego-frame xyz. Reference: models/fiery.py:193-208.
+    """
+    rotation = extrinsics[..., :3, :3]
+    translation = extrinsics[..., :3, 3]
+    # scale (u, v) by depth: homogeneous image coords -> camera rays
+    points = jnp.concatenate(
+        [frustum[..., :2] * frustum[..., 2:3], frustum[..., 2:3]], axis=-1
+    )  # (D, h, w, 3)
+    combined = rotation @ jnp.linalg.inv(intrinsics)  # (..., N, 3, 3)
+    # (..., N, 1, 1, 1, 3, 3) @ (D, h, w, 3, 1)
+    pts = jnp.einsum('...ij,dhwj->...dhwi', combined, points)
+    return pts + translation[..., None, None, None, :]
+
+
+def voxel_ids(geometry, bev_resolution, bev_start_position, bev_dimension):
+    """Map ego-frame points to flat BEV bin ids; out-of-bounds -> dump bin.
+
+    geometry: (..., 3). Returns int32 ids in [0, X*Y*Z], where X*Y*Z is the dump bin.
+    Bin edges follow reference models/fiery.py:236-247.
+    """
+    res = jnp.asarray(bev_resolution, dtype=geometry.dtype)
+    start = jnp.asarray(bev_start_position, dtype=geometry.dtype)
+    dim = np.asarray(bev_dimension)
+    vox = jnp.floor((geometry - (start - res / 2.0)) / res).astype(jnp.int32)
+    valid = jnp.all((vox >= 0) & (vox < jnp.asarray(dim, dtype=jnp.int32)), axis=-1)
+    X, Y, Z = int(dim[0]), int(dim[1]), int(dim[2])
+    flat = (vox[..., 0] * Y + vox[..., 1]) * Z + vox[..., 2]
+    dump = X * Y * Z
+    return jnp.where(valid, flat, dump)
+
+
+def splat_to_bev(features, ids, bev_dimension):
+    """Scatter-add point features into the BEV grid.
+
+    features: (P, C) flattened point features for one sample;
+    ids: (P,) flat bin ids from ``voxel_ids``.
+    Returns (X, Y, C) BEV features (Z summed out; reference keeps Z=1 and squeezes,
+    models/fiery.py:263-269 — summing over Z generalises that without dynamic shapes).
+    """
+    dim = np.asarray(bev_dimension)
+    X, Y, Z = int(dim[0]), int(dim[1]), int(dim[2])
+    num_segments = X * Y * Z + 1
+    out = jax.ops.segment_sum(features, ids, num_segments=num_segments)
+    out = out[:-1].reshape(X, Y, Z, -1).sum(axis=2)
+    return out
+
+
+def lift_splat(features, geometry, bev_resolution, bev_start_position, bev_dimension):
+    """Full splat: (B, N, D, h, w, C) point features + (B, N, D, h, w, 3) geometry -> (B, X, Y, C)."""
+    B = features.shape[0]
+    C = features.shape[-1]
+    ids = voxel_ids(geometry, bev_resolution, bev_start_position, bev_dimension)
+
+    def per_sample(feat_b, ids_b):
+        return splat_to_bev(feat_b.reshape(-1, C), ids_b.reshape(-1), bev_dimension)
+
+    return jax.vmap(per_sample)(features, ids)
+
+
+def depth_feature_outer_product(x, D, C):
+    """Split encoder head output into depth logits and features; return lifted volume.
+
+    x: (B, h, w, D + C) head output. Returns (B, D, h, w, C) = softmax_D(depth) outer feat.
+    Reference: models/encoder.py:98-100.
+    """
+    depth = jax.nn.softmax(x[..., :D], axis=-1)          # (B, h, w, D)
+    feat = x[..., D:D + C]                               # (B, h, w, C)
+    out = depth[..., None] * feat[..., None, :]          # (B, h, w, D, C)
+    return jnp.moveaxis(out, -2, 1)                      # (B, D, h, w, C)

@@ -1,0 +1,153 @@
+"""BEV feature warping: torch-parity grid sampling + SE(2) ego-motion warps.
+
+Re-implements the reference warp stack (/root/reference/fiery/utils/geometry.py:181-280)
+as pure-jnp gathers in NHWC layout. Parity traps handled here:
+  * ``align_corners=False`` normalised-coordinate convention in both the affine grid
+    construction and the sampler (off-by-half errors silently destroy VPQ),
+  * zero padding outside the image,
+  * the forward-axis sign flip and (tx, ty) swap of the reference warp
+    (geometry.py:200-203, 213-214).
+
+Everything here is jit-friendly: static shapes, no data-dependent control flow.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from fiery_tpu.utils.geometry import (
+    invert_pose_matrix,
+    mat2pose_vec,
+    pose_vec2mat,
+)
+
+
+def grid_sample_2d(image, grid, mode='bilinear'):
+    """Sample ``image`` (..., H, W, C) at normalised ``grid`` (..., Ho, Wo, 2) coordinates.
+
+    grid[..., 0] indexes the W axis, grid[..., 1] the H axis, both in [-1, 1] with the
+    torch ``align_corners=False`` convention and zero padding outside the input.
+    Leading batch dims of image/grid must match.
+    """
+    if image.ndim == 3:
+        return _grid_sample_single(image, grid, mode)
+    # vmap over all leading batch dims
+    batch_shape = image.shape[:-3]
+    img_flat = image.reshape((-1,) + image.shape[-3:])
+    grid_flat = grid.reshape((-1,) + grid.shape[-3:])
+    out = jax.vmap(lambda im, g: _grid_sample_single(im, g, mode))(img_flat, grid_flat)
+    return out.reshape(batch_shape + out.shape[1:])
+
+
+def _grid_sample_single(image, grid, mode):
+    H, W, C = image.shape
+    gx, gy = grid[..., 0], grid[..., 1]
+    # Unnormalise (align_corners=False): gx=-1 -> -0.5, gx=+1 -> W-0.5
+    ix = ((gx + 1.0) * W - 1.0) / 2.0
+    iy = ((gy + 1.0) * H - 1.0) / 2.0
+
+    def gather(yi, xi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = jnp.clip(xi, 0, W - 1)
+        yi_c = jnp.clip(yi, 0, H - 1)
+        vals = image[yi_c, xi_c]  # (..., C)
+        return vals * valid[..., None].astype(image.dtype)
+
+    if mode == 'nearest':
+        # torch uses std::nearbyint (round-half-to-even), matching jnp.round
+        xi = jnp.round(ix).astype(jnp.int32)
+        yi = jnp.round(iy).astype(jnp.int32)
+        return gather(yi, xi)
+    elif mode == 'bilinear':
+        x0 = jnp.floor(ix).astype(jnp.int32)
+        y0 = jnp.floor(iy).astype(jnp.int32)
+        x1, y1 = x0 + 1, y0 + 1
+        wx1 = (ix - x0.astype(ix.dtype)).astype(image.dtype)
+        wy1 = (iy - y0.astype(iy.dtype)).astype(image.dtype)
+        wx0, wy0 = 1.0 - wx1, 1.0 - wy1
+        out = (
+            gather(y0, x0) * (wy0 * wx0)[..., None]
+            + gather(y0, x1) * (wy0 * wx1)[..., None]
+            + gather(y1, x0) * (wy1 * wx0)[..., None]
+            + gather(y1, x1) * (wy1 * wx1)[..., None]
+        )
+        return out
+    else:
+        raise ValueError(f'Unsupported sampling mode: {mode}')
+
+
+def _affine_grid(theta, H, W):
+    """torch.nn.functional.affine_grid parity, align_corners=False.
+
+    theta: (..., 2, 3). Returns (..., H, W, 2) normalised sampling coordinates.
+    """
+    xs = (2.0 * jnp.arange(W, dtype=theta.dtype) + 1.0) / W - 1.0   # width axis
+    ys = (2.0 * jnp.arange(H, dtype=theta.dtype) + 1.0) / H - 1.0   # height axis
+    base_x = jnp.broadcast_to(xs[None, :], (H, W))
+    base_y = jnp.broadcast_to(ys[:, None], (H, W))
+    ones = jnp.ones((H, W), dtype=theta.dtype)
+    base = jnp.stack([base_x, base_y, ones], axis=-1)               # (H, W, 3)
+    # grid[..., i, j, k] = sum_m theta[..., k, m] * base[i, j, m]
+    return jnp.einsum('...km,ijm->...ijk', theta, base)
+
+
+def warp_features(x, flow, mode='nearest', spatial_extent=None):
+    """SE(2) warp of BEV maps. x: (b, H, W, C) NHWC, flow: (b, 6) 6-DoF pose vector.
+
+    Uses only the z-rotation (flow[:, 5]) and xy translation (flow[:, :2]) with the
+    reference's sign conventions (geometry.py:181-222). H is the forward (X) axis,
+    W the sides (Y) axis of the BEV grid.
+    """
+    if flow is None:
+        return x
+    b, H, W, _ = x.shape
+    angle = flow[:, 5]
+    # normalise translation by half-extent; forward axis inverted (geometry.py:199-203)
+    tx = -flow[:, 0] / spatial_extent[0]
+    ty = flow[:, 1] / spatial_extent[1]
+
+    cos_t, sin_t = jnp.cos(angle), jnp.sin(angle)
+    # rows stacked as in reference geometry.py:213-214: [cos, -sin, ty], [sin, cos, tx]
+    theta = jnp.stack(
+        [cos_t, -sin_t, ty, sin_t, cos_t, tx], axis=-1
+    ).reshape(b, 2, 3).astype(x.dtype)
+    grid = _affine_grid(theta, H, W)
+    return grid_sample_2d(x, grid, mode=mode)
+
+
+def cumulative_warp_features(x, flow, mode='nearest', spatial_extent=None):
+    """Warp past BEV frames to the present frame by composing incremental poses.
+
+    x: (b, t, H, W, C); flow: (b, t, 6) pose from frame t to t+1.
+    x[:, -1] unchanged; x[:, t] warped by flow[t] @ ... @ flow[-2].
+    Reference: geometry.py:225-253.
+    """
+    seq_len = x.shape[1]
+    if seq_len == 1:
+        return x
+    flow_mat = pose_vec2mat(flow)
+
+    out = [x[:, -1]]
+    cum_flow = flow_mat[:, -2]
+    for t in reversed(range(seq_len - 1)):
+        out.append(warp_features(x[:, t], mat2pose_vec(cum_flow), mode=mode,
+                                 spatial_extent=spatial_extent))
+        if t > 0:
+            cum_flow = flow_mat[:, t - 1] @ cum_flow
+    return jnp.stack(out[::-1], axis=1)
+
+
+def cumulative_warp_features_reverse(x, flow, mode='nearest', spatial_extent=None):
+    """Warp future BEV frames back to the present frame (label preparation).
+
+    x: (b, t, H, W, C); flow: (b, t, 6). x[:, 0] unchanged; x[:, i] warped by
+    inv(flow[0]) @ ... @ inv(flow[i-1]). Reference: geometry.py:256-280.
+    """
+    flow_mat = pose_vec2mat(flow)
+    out = [x[:, 0]]
+    cum_flow = None
+    for i in range(1, x.shape[1]):
+        inv_i = invert_pose_matrix(flow_mat[:, i - 1])
+        cum_flow = inv_i if cum_flow is None else cum_flow @ inv_i
+        out.append(warp_features(x[:, i], mat2pose_vec(cum_flow), mode=mode,
+                                 spatial_extent=spatial_extent))
+    return jnp.stack(out, axis=1)

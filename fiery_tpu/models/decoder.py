@@ -1,0 +1,101 @@
+"""BEV decoder: resnet18-style trunk (layers 1-3, random init, zero-init residual BN)
+with UpsamplingAdd skip stages and the four output heads.
+
+Reference: /root/reference/fiery/models/decoder.py:7-91 (trunk built from
+torchvision resnet18; re-implemented here as BasicBlocks in flax).
+Output heads are channels-last: segmentation (n_classes), instance_center (1, sigmoid),
+instance_offset (2), instance_flow (2, optional).
+"""
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from fiery_tpu.models.layers import BatchNorm, UpsamplingAdd, conv2d, conv_init
+from fiery_tpu.utils.geometry import pack_sequence_dim, unpack_sequence_dim
+
+
+class BasicBlock(nn.Module):
+    """torchvision resnet BasicBlock with zero-initialised second BN scale."""
+    channels: int
+    stride: int = 1
+    bn_momentum: float = 0.1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        h = conv2d(self.channels, 3, self.stride, dtype=self.dtype)(x)
+        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
+        h = conv2d(self.channels, 3, 1, dtype=self.dtype)(h)
+        # zero_init_residual: the block starts as identity (decoder.py:10)
+        h = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                      scale_init=nn.initializers.zeros)(h, train)
+        if self.stride != 1 or x.shape[-1] != self.channels:
+            identity = conv2d(self.channels, 1, self.stride, dtype=self.dtype)(x)
+            identity = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(identity, train)
+        return nn.relu(h + identity)
+
+
+class _Head(nn.Module):
+    out_channels: int
+    bn_momentum: float = 0.1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = conv2d(x.shape[-1], 3, 1, dtype=self.dtype)(x)
+        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
+        return nn.Conv(self.out_channels, (1, 1), use_bias=True, kernel_init=conv_init,
+                       dtype=self.dtype)(h)
+
+
+class Decoder(nn.Module):
+    n_classes: int = 2
+    predict_future_flow: bool = True
+    bn_momentum: float = 0.1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (b, s, h, w, c)
+        b, s = x.shape[:2]
+        shared_out_channels = x.shape[-1]
+        x = pack_sequence_dim(x)
+
+        skip1 = x
+        h = conv2d(64, 7, 2, dtype=self.dtype)(x)     # (H/2, W/2)
+        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
+
+        # layer1 (note: no maxpool before layer1 in the reference decoder)
+        h = BasicBlock(64, 1, self.bn_momentum, self.dtype)(h, train)
+        h = BasicBlock(64, 1, self.bn_momentum, self.dtype)(h, train)
+        skip2 = h
+        # layer2 -> (H/4, W/4)
+        h = BasicBlock(128, 2, self.bn_momentum, self.dtype)(h, train)
+        h = BasicBlock(128, 1, self.bn_momentum, self.dtype)(h, train)
+        skip3 = h
+        # layer3 -> (H/8, W/8)
+        h = BasicBlock(256, 2, self.bn_momentum, self.dtype)(h, train)
+        h = BasicBlock(256, 1, self.bn_momentum, self.dtype)(h, train)
+
+        h = UpsamplingAdd(128, bn_momentum=self.bn_momentum, dtype=self.dtype)(h, skip3, train)
+        h = UpsamplingAdd(64, bn_momentum=self.bn_momentum, dtype=self.dtype)(h, skip2, train)
+        h = UpsamplingAdd(shared_out_channels, bn_momentum=self.bn_momentum,
+                          dtype=self.dtype)(h, skip1, train)
+
+        segmentation = _Head(self.n_classes, self.bn_momentum, self.dtype)(h, train)
+        instance_center = nn.sigmoid(_Head(1, self.bn_momentum, self.dtype)(h, train))
+        instance_offset = _Head(2, self.bn_momentum, self.dtype)(h, train)
+        instance_flow = (_Head(2, self.bn_momentum, self.dtype)(h, train)
+                         if self.predict_future_flow else None)
+
+        out = {
+            'segmentation': unpack_sequence_dim(segmentation, b, s),
+            'instance_center': unpack_sequence_dim(instance_center, b, s),
+            'instance_offset': unpack_sequence_dim(instance_offset, b, s),
+            'instance_flow': (unpack_sequence_dim(instance_flow, b, s)
+                              if instance_flow is not None else None),
+        }
+        return out

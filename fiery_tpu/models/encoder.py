@@ -1,0 +1,43 @@
+"""Image encoder: EfficientNet FPN + categorical-depth lifting head.
+
+Reference: /root/reference/fiery/models/encoder.py:7-104. Input NHWC (B, H, W, 3);
+output the lifted camera volume (B, D, h, w, C) where h, w = H, W / downsample.
+"""
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from fiery_tpu.models.efficientnet import EfficientNetFPN
+from fiery_tpu.models.layers import UpsamplingConcat, conv_init
+from fiery_tpu.ops.lift_splat import depth_feature_outer_product
+
+
+class Encoder(nn.Module):
+    out_channels: int         # C (cfg.MODEL.ENCODER.OUT_CHANNELS)
+    depth_channels: int       # D (from LIFT.D_BOUND)
+    version: str = 'b4'
+    downsample: int = 8
+    use_depth_distribution: bool = True
+    bn_momentum: float = 0.1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C, D = self.out_channels, self.depth_channels
+        feat_hi, feat_lo = EfficientNetFPN(
+            version=self.version, downsample=self.downsample,
+            bn_momentum=self.bn_momentum, dtype=self.dtype)(x, train)
+        upsampling_out = 512 if self.downsample == 16 else 128
+        x = UpsamplingConcat(upsampling_out, bn_momentum=self.bn_momentum,
+                             dtype=self.dtype)(feat_hi, feat_lo, train)
+
+        head_channels = C + D if self.use_depth_distribution else C
+        x = nn.Conv(head_channels, (1, 1), use_bias=True, kernel_init=conv_init,
+                    name='depth_layer', dtype=self.dtype)(x)
+
+        if self.use_depth_distribution:
+            return depth_feature_outer_product(x, D, C)   # (B, D, h, w, C)
+        # no depth distribution: replicate features along D (encoder.py:102)
+        return jnp.broadcast_to(x[:, None], (x.shape[0], D, *x.shape[1:]))

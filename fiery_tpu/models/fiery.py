@@ -1,0 +1,341 @@
+"""Top-level FIERY model as a flax module over NHWC tensors.
+
+Wires encoder -> lift-splat -> ego-motion warp -> temporal model -> probabilistic
+latent -> GRU rollout -> decoder, mirroring the reference graph
+(/root/reference/fiery/models/fiery.py:13-339) with TPU-native ops:
+  * the voxel pooling is a fixed-shape segment-sum splat (ops/lift_splat.py) instead of
+    the reference's per-sample mask/sort/cumsum python loop (fiery.py:221-273);
+  * warps are pure-jnp gathers (ops/warp.py);
+  * noise is threaded through flax RNG collections ('sample') instead of torch randn.
+
+Tensor conventions (channels-last everywhere):
+  image (b, s, n, H, W, 3), intrinsics (b, s, n, 3, 3), extrinsics (b, s, n, 4, 4),
+  future_egomotion (b, s, 6), BEV states (b, t, X, Y, C),
+  outputs: segmentation (b, t, X, Y, n_classes), instance_center (b, t, X, Y, 1),
+  instance_offset / instance_flow (b, t, X, Y, 2), distribution mus/sigmas (b, 1, L).
+"""
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fiery_tpu.models.decoder import Decoder
+from fiery_tpu.models.distributions import DistributionModule
+from fiery_tpu.models.encoder import Encoder
+from fiery_tpu.models.future_prediction import FuturePrediction
+from fiery_tpu.models.temporal_model import (
+    TemporalModel,
+    TemporalModelIdentity,
+    temporal_out_channels,
+)
+from fiery_tpu.ops.lift_splat import create_frustum, get_geometry, lift_splat
+from fiery_tpu.ops.warp import cumulative_warp_features
+from fiery_tpu.utils.geometry import (
+    calculate_birds_eye_view_parameters,
+    pack_sequence_dim,
+    unpack_sequence_dim,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FieryConfig:
+    """Static (hashable) model configuration distilled from the CfgNode."""
+    time_receptive_field: int = 3
+    n_future_frames: int = 4
+    subsample: bool = False
+    final_dim: Tuple[int, int] = (224, 480)
+    x_bound: Tuple[float, float, float] = (-50.0, 50.0, 0.5)
+    y_bound: Tuple[float, float, float] = (-50.0, 50.0, 0.5)
+    z_bound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
+    d_bound: Tuple[float, float, float] = (2.0, 50.0, 1.0)
+    encoder_downsample: int = 8
+    encoder_name: str = 'efficientnet-b4'
+    encoder_out_channels: int = 64
+    use_depth_distribution: bool = True
+    temporal_name: str = 'temporal_block'
+    start_out_channels: int = 64
+    extra_in_channels: int = 0
+    inbetween_layers: int = 0
+    pyramid_pooling: bool = True
+    input_egopose: bool = True
+    latent_dim: int = 32
+    min_log_sigma: float = -5.0
+    max_log_sigma: float = 5.0
+    n_gru_blocks: int = 3
+    n_res_layers: int = 3
+    bn_momentum: float = 0.1
+    n_classes: int = 2
+    instance_flow_enabled: bool = True
+    probabilistic_enabled: bool = True
+    probabilistic_future_dim: int = 6
+    precision: int = 32   # 16 -> bf16 compute (params stay f32; BN stats f32)
+
+    def __post_init__(self):
+        H, W = self.final_dim
+        if H % 16 or W % 16:
+            raise ValueError(
+                f'IMAGE.FINAL_DIM must be divisible by 16 (got {self.final_dim}): the '
+                f'encoder FPN upsamples the stride-16 endpoint by exactly 2x onto the '
+                f'stride-8 endpoint.')
+
+    @classmethod
+    def from_cfg(cls, cfg):
+        """Build from a CfgNode (fiery_tpu.utils.config.get_cfg())."""
+        return cls(
+            time_receptive_field=cfg.TIME_RECEPTIVE_FIELD,
+            n_future_frames=cfg.N_FUTURE_FRAMES,
+            subsample=cfg.MODEL.SUBSAMPLE,
+            final_dim=tuple(cfg.IMAGE.FINAL_DIM),
+            x_bound=tuple(cfg.LIFT.X_BOUND),
+            y_bound=tuple(cfg.LIFT.Y_BOUND),
+            z_bound=tuple(cfg.LIFT.Z_BOUND),
+            d_bound=tuple(cfg.LIFT.D_BOUND),
+            encoder_downsample=cfg.MODEL.ENCODER.DOWNSAMPLE,
+            encoder_name=cfg.MODEL.ENCODER.NAME,
+            encoder_out_channels=cfg.MODEL.ENCODER.OUT_CHANNELS,
+            use_depth_distribution=cfg.MODEL.ENCODER.USE_DEPTH_DISTRIBUTION,
+            temporal_name=cfg.MODEL.TEMPORAL_MODEL.NAME,
+            start_out_channels=cfg.MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS,
+            extra_in_channels=cfg.MODEL.TEMPORAL_MODEL.EXTRA_IN_CHANNELS,
+            inbetween_layers=cfg.MODEL.TEMPORAL_MODEL.INBETWEEN_LAYERS,
+            pyramid_pooling=cfg.MODEL.TEMPORAL_MODEL.PYRAMID_POOLING,
+            input_egopose=cfg.MODEL.TEMPORAL_MODEL.INPUT_EGOPOSE,
+            latent_dim=cfg.MODEL.DISTRIBUTION.LATENT_DIM,
+            min_log_sigma=cfg.MODEL.DISTRIBUTION.MIN_LOG_SIGMA,
+            max_log_sigma=cfg.MODEL.DISTRIBUTION.MAX_LOG_SIGMA,
+            n_gru_blocks=cfg.MODEL.FUTURE_PRED.N_GRU_BLOCKS,
+            n_res_layers=cfg.MODEL.FUTURE_PRED.N_RES_LAYERS,
+            bn_momentum=cfg.MODEL.BN_MOMENTUM,
+            n_classes=len(cfg.SEMANTIC_SEG.WEIGHTS),
+            instance_flow_enabled=cfg.INSTANCE_FLOW.ENABLED,
+            probabilistic_enabled=cfg.PROBABILISTIC.ENABLED,
+            probabilistic_future_dim=cfg.PROBABILISTIC.FUTURE_DIM,
+            precision=cfg.PRECISION,
+        )
+
+    # -- derived static properties ----------------------------------------
+    @property
+    def receptive_field(self):
+        # Lyft subsampling halves the effective sequence (reference fiery.py:39-42)
+        return 3 if self.subsample else self.time_receptive_field
+
+    @property
+    def n_future(self):
+        return 5 if self.subsample else self.n_future_frames
+
+    @property
+    def spatial_extent(self):
+        return (self.x_bound[1], self.y_bound[1])
+
+    @property
+    def bev_parameters(self):
+        return calculate_birds_eye_view_parameters(self.x_bound, self.y_bound, self.z_bound)
+
+    @property
+    def bev_size(self):
+        _, _, dim = self.bev_parameters
+        return (int(dim[0]), int(dim[1]))
+
+    @property
+    def depth_channels(self):
+        return int((self.d_bound[1] - self.d_bound[0]) / self.d_bound[2])
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.precision == 16 else jnp.float32
+
+
+class Fiery(nn.Module):
+    cfg: FieryConfig
+
+    def setup(self):
+        c = self.cfg
+        dtype = c.compute_dtype
+        self.frustum = jnp.asarray(
+            create_frustum(c.final_dim, c.encoder_downsample, c.d_bound))
+
+        self.encoder = Encoder(
+            out_channels=c.encoder_out_channels,
+            depth_channels=c.depth_channels,
+            version=c.encoder_name.split('-')[1],
+            downsample=c.encoder_downsample,
+            use_depth_distribution=c.use_depth_distribution,
+            bn_momentum=c.bn_momentum,
+            dtype=dtype,
+        )
+
+        temporal_in_channels = c.encoder_out_channels + (6 if c.input_egopose else 0)
+        if c.temporal_name == 'identity':
+            self.temporal_model = TemporalModelIdentity(receptive_field=c.receptive_field)
+        elif c.temporal_name == 'temporal_block':
+            self.temporal_model = TemporalModel(
+                receptive_field=c.receptive_field,
+                input_shape=c.bev_size,
+                start_out_channels=c.start_out_channels,
+                extra_in_channels=c.extra_in_channels,
+                n_spatial_layers_between_temporal_layers=c.inbetween_layers,
+                use_pyramid_pooling=c.pyramid_pooling,
+                bn_momentum=c.bn_momentum,
+                dtype=dtype,
+            )
+        else:
+            raise NotImplementedError(f'Temporal module {c.temporal_name}')
+
+        self.future_pred_in_channels = temporal_out_channels(
+            c.temporal_name, temporal_in_channels, c.receptive_field,
+            c.start_out_channels, c.extra_in_channels)
+
+        if c.n_future > 0:
+            if c.probabilistic_enabled:
+                self.present_distribution = DistributionModule(
+                    latent_dim=c.latent_dim, min_log_sigma=c.min_log_sigma,
+                    max_log_sigma=c.max_log_sigma, bn_momentum=c.bn_momentum,
+                    dtype=dtype)
+                self.future_distribution = DistributionModule(
+                    latent_dim=c.latent_dim, min_log_sigma=c.min_log_sigma,
+                    max_log_sigma=c.max_log_sigma, bn_momentum=c.bn_momentum,
+                    dtype=dtype)
+            self.future_prediction = FuturePrediction(
+                in_channels=self.future_pred_in_channels,
+                n_gru_blocks=c.n_gru_blocks, n_res_layers=c.n_res_layers,
+                bn_momentum=c.bn_momentum, dtype=dtype)
+
+        self.decoder = Decoder(
+            n_classes=c.n_classes,
+            predict_future_flow=c.instance_flow_enabled,
+            bn_momentum=c.bn_momentum,
+            dtype=dtype,
+        )
+
+    def __call__(self, image, intrinsics, extrinsics, future_egomotion,
+                 future_distribution_inputs=None, noise=None, train: bool = False):
+        c = self.cfg
+        rf = c.receptive_field
+        output = {}
+
+        # only past + present frames feed perception (reference fiery.py:134-137)
+        image = image[:, :rf].astype(c.compute_dtype)
+        intrinsics = intrinsics[:, :rf]
+        extrinsics = extrinsics[:, :rf]
+        future_egomotion_in = future_egomotion[:, :rf]
+
+        x = self.calculate_birds_eye_view_features(image, intrinsics, extrinsics, train)
+
+        # warp past BEV features to the present frame (reference fiery.py:143-146)
+        x = cumulative_warp_features(
+            x, future_egomotion_in, mode='bilinear', spatial_extent=c.spatial_extent)
+
+        if c.input_egopose:
+            b, s = future_egomotion_in.shape[:2]
+            h, w = x.shape[2:4]
+            ego = jnp.broadcast_to(future_egomotion_in[:, :, None, None, :], (b, s, h, w, 6))
+            # at time 0 there is no egomotion: shift right, zero-fill (fiery.py:153-154)
+            ego = jnp.concatenate([jnp.zeros_like(ego[:, :1]), ego[:, :rf - 1]], axis=1)
+            x = jnp.concatenate([x, ego.astype(x.dtype)], axis=-1)
+
+        states = self.temporal_model(x, train)
+
+        if c.n_future > 0:
+            present_state = states[:, :1]
+            if c.probabilistic_enabled:
+                sample, output_distribution = self.distribution_forward(
+                    present_state, future_distribution_inputs, noise, train)
+                output.update(output_distribution)
+
+            b, _, h, w, _ = present_state.shape
+            hidden_state = present_state[:, 0]
+
+            if c.probabilistic_enabled:
+                future_prediction_input = jnp.broadcast_to(
+                    sample, (b, c.n_future, h, w, c.latent_dim))
+            else:
+                future_prediction_input = jnp.zeros(
+                    (b, c.n_future, h, w, c.latent_dim), dtype=hidden_state.dtype)
+
+            future_states = self.future_prediction(
+                future_prediction_input, hidden_state, train)
+            future_states = jnp.concatenate([present_state, future_states], axis=1)
+            bev_output = self.decoder(future_states, train)
+        else:
+            bev_output = self.decoder(states[:, -1:], train)
+
+        # heads and losses consume float32 regardless of the compute dtype
+        output.update(jax.tree.map(
+            lambda t: t.astype(jnp.float32) if t is not None else None, bev_output,
+            is_leaf=lambda t: t is None))
+        return output
+
+    def calculate_birds_eye_view_features(self, x, intrinsics, extrinsics, train):
+        """(b, s, n, H, W, 3) images -> (b, s, X, Y, C) BEV features.
+
+        Reference: fiery.py:275-286.
+        """
+        c = self.cfg
+        b, s, n = x.shape[:3]
+        x = pack_sequence_dim(x)                   # (b*s, n, H, W, 3)
+        intrinsics = pack_sequence_dim(intrinsics)
+        extrinsics = pack_sequence_dim(extrinsics)
+
+        geometry = get_geometry(self.frustum, intrinsics, extrinsics)  # (b*s, n, D, h, w, 3)
+
+        bn = x.shape[0] * n
+        feats = self.encoder(x.reshape(bn, *x.shape[2:]), train)       # (b*s*n, D, h, w, C)
+        feats = feats.reshape(b * s, n, *feats.shape[1:])              # (b*s, n, D, h, w, C)
+
+        res, start, dim = c.bev_parameters
+        bev = lift_splat(feats, geometry.astype(feats.dtype), res, start, dim)
+        return unpack_sequence_dim(bev, b, s)      # (b, s, X, Y, C)
+
+    def distribution_forward(self, present_features, future_distribution_inputs,
+                             noise, train):
+        """Sample the latent; train -> future distribution, eval -> present mean.
+
+        Reference: fiery.py:288-339.
+        """
+        c = self.cfg
+        b, s, h, w, _ = present_features.shape
+        assert s == 1
+
+        present_mu, present_log_sigma = self.present_distribution(present_features, train)
+
+        future_mu, future_log_sigma = None, None
+        if future_distribution_inputs is not None:
+            # flatten future label frames (skip present) into channels (fiery.py:312)
+            fdi = future_distribution_inputs[:, 1:]
+            fdi = jnp.moveaxis(fdi, 1, -2).reshape(b, h, w, -1)[:, None]
+            future_features = jnp.concatenate([present_features, fdi.astype(
+                present_features.dtype)], axis=-1)
+            future_mu, future_log_sigma = self.future_distribution(future_features, train)
+
+        if noise is None:
+            if train:
+                noise = jax.random.normal(self.make_rng('sample'), present_mu.shape,
+                                          dtype=present_mu.dtype)
+            else:
+                noise = jnp.zeros_like(present_mu)
+        if train:
+            mu, sigma = future_mu, jnp.exp(future_log_sigma)
+        else:
+            mu, sigma = present_mu, jnp.exp(present_log_sigma)
+        sample = mu + sigma * noise                       # (b, 1, latent)
+
+        # spatial broadcast to (b, 1, h, w, latent)
+        sample = jnp.broadcast_to(sample[:, :, None, None, :],
+                                  (b, 1, h, w, c.latent_dim))
+
+        output_distribution = {
+            'present_mu': present_mu,
+            'present_log_sigma': present_log_sigma,
+            'future_mu': future_mu,
+            'future_log_sigma': future_log_sigma,
+        }
+        return sample, output_distribution
+
+
+def build_fiery(cfg):
+    """Construct a Fiery module from a CfgNode."""
+    return Fiery(cfg=FieryConfig.from_cfg(cfg))

@@ -1,0 +1,203 @@
+"""2D building blocks in flax.linen, NHWC layout.
+
+TPU-native re-design of the reference conv layer zoo
+(/root/reference/fiery/layers/convolutions.py:9-214). Geometry parity notes:
+  * convs use explicit torch-style symmetric padding ((p, p), (p, p)) — XLA 'SAME'
+    pads asymmetrically for even inputs under stride 2 and would shift alignment;
+  * bilinear resizes use half-pixel centers (= torch align_corners=False);
+  * conv kernels use He(fan_out) init, biases zero (torch-resnet style).
+
+All modules take ``train: bool`` to switch BatchNorm between batch stats and running
+averages; running stats live in the 'batch_stats' collection. Under jit with a sharded
+batch axis, batch statistics are computed over the *global* batch (GSPMD inserts the
+cross-replica collectives), which reproduces the reference's sync-BN (train.py:37).
+"""
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.image
+import jax.numpy as jnp
+
+conv_init = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')  # kaiming normal
+
+
+def conv2d(features, kernel_size=3, stride=1, bias=False, name=None, dtype=None):
+    p = (kernel_size - 1) // 2
+    return nn.Conv(
+        features, (kernel_size, kernel_size), strides=(stride, stride),
+        padding=((p, p), (p, p)), use_bias=bias, kernel_init=conv_init, name=name,
+        dtype=dtype,
+    )
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch momentum convention (running <- (1-m)*running + m*batch).
+
+    Under a bf16 compute dtype, flax computes the batch statistics in float32
+    internally, so mixed precision does not degrade the running stats.
+    """
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    scale_init: nn.initializers.Initializer = nn.initializers.ones
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.epsilon,
+            scale_init=self.scale_init,
+            dtype=self.dtype,
+        )(x)
+
+
+def resize_bilinear(x, out_hw):
+    """torch F.interpolate(mode='bilinear', align_corners=False) parity (NHWC)."""
+    shape = x.shape[:-3] + (out_hw[0], out_hw[1], x.shape[-1])
+    return jax.image.resize(x, shape, method='linear')
+
+
+def upsample2x(x):
+    return resize_bilinear(x, (2 * x.shape[-3], 2 * x.shape[-2]))
+
+
+_ACTIVATIONS = {
+    'relu': nn.relu,
+    'lrelu': lambda x: nn.leaky_relu(x, 0.1),
+    'elu': nn.elu,
+    'tanh': jnp.tanh,
+    'none': None,
+}
+
+
+class ConvBlock(nn.Module):
+    """conv (or transposed conv) + optional norm + optional activation.
+
+    Reference: convolutions.py:9-61.
+    """
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    norm: str = 'bn'
+    activation: str = 'relu'
+    bias: bool = False
+    transpose: bool = False
+    bn_momentum: float = 0.1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.transpose:
+            x = nn.ConvTranspose(
+                self.out_channels, (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride), padding='SAME',
+                use_bias=self.bias, kernel_init=conv_init, dtype=self.dtype,
+            )(x)
+        else:
+            x = conv2d(self.out_channels, self.kernel_size, self.stride, self.bias,
+                       dtype=self.dtype)(x)
+        if self.norm == 'bn':
+            x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(x, train)
+        elif self.norm == 'in':
+            x = nn.GroupNorm(num_groups=None, group_size=1)(x)
+        elif self.norm != 'none':
+            raise ValueError(f'Invalid norm {self.norm}')
+        act = _ACTIVATIONS[self.activation]
+        if act is not None:
+            x = act(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """1x1 down-project -> kxk conv (optionally strided/transposed) -> 1x1 up-project,
+    each followed by BN+ReLU, with a (possibly projected) residual connection.
+
+    Reference: convolutions.py:64-168 (incl. the odd-size right/bottom pad before the
+    skip max-pool under downsampling, convolutions.py:165-167).
+    """
+    out_channels: Optional[int] = None
+    kernel_size: int = 3
+    upsample: bool = False
+    downsample: bool = False
+    bn_momentum: float = 0.1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_channels = x.shape[-1]
+        out_channels = self.out_channels or in_channels
+        mid = in_channels // 2
+        p = (self.kernel_size - 1) // 2
+
+        h = conv2d(mid, 1, 1, dtype=self.dtype)(x)
+        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
+        if self.upsample:
+            h = nn.ConvTranspose(mid, (self.kernel_size, self.kernel_size), strides=(2, 2),
+                                 padding='SAME', use_bias=False, kernel_init=conv_init,
+                                 dtype=self.dtype)(h)
+        elif self.downsample:
+            h = conv2d(mid, self.kernel_size, 2, dtype=self.dtype)(h)
+        else:
+            h = conv2d(mid, self.kernel_size, 1, dtype=self.dtype)(h)
+        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
+        h = conv2d(out_channels, 1, 1, dtype=self.dtype)(h)
+        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
+
+        if out_channels == in_channels and not self.downsample and not self.upsample:
+            return h + x
+
+        skip = x
+        if self.upsample:
+            skip = upsample2x(skip)
+        elif self.downsample:
+            # pad right/bottom if odd so maxpool output matches the strided conv
+            ph, pw = skip.shape[-3] % 2, skip.shape[-2] % 2
+            if ph or pw:
+                skip = jnp.pad(skip, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            skip = nn.max_pool(skip, (2, 2), strides=(2, 2))
+        skip = conv2d(out_channels, 1, 1, dtype=self.dtype)(skip)
+        skip = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(skip, train)
+        return h + skip
+
+
+class UpsamplingConcat(nn.Module):
+    """Bilinear 2x upsample of the first input, concat with skip, 2x (conv+BN+ReLU).
+
+    Reference: convolutions.py:182-200.
+    """
+    out_channels: int
+    scale_factor: int = 2
+    bn_momentum: float = 0.1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x_to_upsample, x, train: bool = False):
+        x_to_upsample = resize_bilinear(
+            x_to_upsample,
+            (self.scale_factor * x_to_upsample.shape[-3],
+             self.scale_factor * x_to_upsample.shape[-2]),
+        )
+        h = jnp.concatenate([x, x_to_upsample], axis=-1)
+        h = conv2d(self.out_channels, 3, 1, dtype=self.dtype)(h)
+        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
+        h = conv2d(self.out_channels, 3, 1, dtype=self.dtype)(h)
+        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
+        return h
+
+
+class UpsamplingAdd(nn.Module):
+    """Bilinear 2x upsample + 1x1 conv + BN, added to the skip. Reference: convolutions.py:203-214."""
+    out_channels: int
+    scale_factor: int = 2
+    bn_momentum: float = 0.1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, x_skip, train: bool = False):
+        x = resize_bilinear(
+            x, (self.scale_factor * x.shape[-3], self.scale_factor * x.shape[-2]))
+        x = conv2d(self.out_channels, 1, 1, dtype=self.dtype)(x)
+        x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(x, train)
+        return x + x_skip

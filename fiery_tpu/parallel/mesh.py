@@ -1,0 +1,63 @@
+"""Device mesh + data-parallel sharding helpers.
+
+The reference's distributed story is DDP + sync-BN + fp16 via Lightning
+(/root/reference/train.py:33-45). TPU-native equivalent: a 1-D ``data`` mesh;
+the train step is jit-compiled with the batch sharded over that axis and the state
+replicated. GSPMD then emits the gradient all-reduce (psum) and computes BatchNorm
+statistics over the global batch (sync-BN) — no hand-written collectives.
+Scale-out to multi-slice happens by letting the data axis span DCN; in-slice
+collectives ride ICI automatically.
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices: Optional[int] = None, axis_name: str = 'data') -> Mesh:
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    return Mesh(np.asarray(devices[:n_devices]), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = 'data') -> NamedSharding:
+    """Shard the leading (batch) axis of every leaf."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = 'data'):
+    """Device-put a host batch with the leading axis sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_parallel_train_step(trainer, mesh: Mesh, axis_name: str = 'data'):
+    """jit the trainer's train_step with batch sharded on the data axis.
+
+    State and rng are replicated; XLA inserts psum for gradients and global batch
+    statistics for BN (reference sync_batchnorm parity, train.py:37).
+    """
+    repl = replicated(mesh)
+    data = batch_sharding(mesh, axis_name)
+    return jax.jit(
+        trainer.train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_parallel_eval_step(trainer, mesh: Mesh, axis_name: str = 'data'):
+    repl = replicated(mesh)
+    data = batch_sharding(mesh, axis_name)
+    return jax.jit(
+        trainer.eval_step,
+        in_shardings=(repl, data),
+        out_shardings=(data, data, repl),
+    )

@@ -1,0 +1,214 @@
+"""Instance decoding: center NMS, pixel grouping, consecutive relabel, temporal ID
+association.
+
+Reference: /root/reference/fiery/utils/instance.py:80-330. TPU-first split:
+  * per-frame decoding (NMS -> grouping -> relabel) is fully jittable with a fixed
+    ``max_instances`` bound — no dynamic shapes, batch/time handled by vmap;
+  * the cross-frame ID association keeps the reference's Hungarian matching on host
+    (tiny K x K problems, inherently sequential across time), with the reference's
+    distance threshold 3.0 and new-id allocation semantics.
+"""
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.optimize
+
+MAX_INSTANCES = 100  # reference caps detected centers at 100 (instance.py:134-136)
+
+
+def find_instance_centers(center_prediction, conf_threshold=0.1, nms_kernel_size=3,
+                          max_instances=MAX_INSTANCES):
+    """(h, w) heatmap -> (max_instances, 2) int32 centers + (max_instances,) validity.
+
+    Threshold + 3x3 max-pool NMS (reference instance.py:80-91); survivors are ranked by
+    score and padded/truncated to a fixed count.
+    """
+    h, w = center_prediction.shape
+    x = jnp.where(center_prediction >= conf_threshold, center_prediction, -1.0)
+    p = (nms_kernel_size - 1) // 2
+    pooled = jax.lax.reduce_window(
+        x[None, :, :, None], -jnp.inf, jax.lax.max,
+        (1, nms_kernel_size, nms_kernel_size, 1), (1, 1, 1, 1),
+        ((0, 0), (p, p), (p, p), (0, 0)))[0, :, :, 0]
+    is_peak = (x == pooled) & (x > 0)
+    scores = jnp.where(is_peak, x, -jnp.inf).reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(scores, max_instances)
+    centers = jnp.stack([top_idx // w, top_idx % w], axis=-1).astype(jnp.int32)
+    valid = top_scores > 0
+    return centers, valid
+
+
+def group_pixels(centers, valid, offset_predictions):
+    """Assign each pixel to the nearest valid center via its predicted offset.
+
+    centers: (K, 2); valid: (K,); offset: (h, w, 2) [dx(vertical), dy(horizontal)].
+    Returns (h, w) int32 instance ids in [1, K]. Reference: instance.py:94-113.
+    """
+    h, w, _ = offset_predictions.shape
+    xg = jnp.arange(h, dtype=offset_predictions.dtype)[:, None]
+    yg = jnp.arange(w, dtype=offset_predictions.dtype)[None, :]
+    px = xg + offset_predictions[..., 0]
+    py = yg + offset_predictions[..., 1]
+    # (K, h, w) squared distances to each center; invalid centers pushed to +inf
+    dx = centers[:, 0, None, None].astype(px.dtype) - px[None]
+    dy = centers[:, 1, None, None].astype(py.dtype) - py[None]
+    dist = dx * dx + dy * dy
+    dist = jnp.where(valid[:, None, None], dist, jnp.inf)
+    return jnp.argmin(dist, axis=0).astype(jnp.int32) + 1
+
+
+def make_instance_seg_consecutive(instance_seg, max_ids=MAX_INSTANCES + 1):
+    """Relabel ids to be consecutive starting from 0 (background stays 0).
+
+    Fixed-shape device equivalent of the reference torch.unique relabel
+    (instance.py:147-170).
+    """
+    present = jnp.zeros((max_ids,), jnp.int32).at[instance_seg.reshape(-1)].max(1)
+    present = present.at[0].set(1)  # background always counts so id 0 maps to 0
+    mapping = jnp.cumsum(present) - 1  # mapping[id] = rank of id among present ids
+    return mapping[instance_seg].astype(jnp.int32)
+
+
+def get_instance_segmentation_and_centers(
+        center_predictions, offset_predictions, foreground_mask,
+        conf_threshold=0.1, nms_kernel_size=3, max_instances=MAX_INSTANCES,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-frame decode. center (h, w, 1), offset (h, w, 2), foreground (h, w) bool.
+
+    Returns (instance_seg (h, w) int32 consecutive ids, centers (K, 2), valid (K,)).
+    Reference: instance.py:116-144.
+    """
+    centers, valid = find_instance_centers(
+        center_predictions[..., 0], conf_threshold, nms_kernel_size, max_instances)
+    ids = group_pixels(centers, valid, offset_predictions)
+    any_center = jnp.any(valid)
+    instance_seg = jnp.where(foreground_mask & any_center, ids, 0)
+    instance_seg = make_instance_seg_consecutive(instance_seg)
+    return instance_seg, centers, valid
+
+
+def decode_instance_predictions(output: Dict[str, jnp.ndarray],
+                                conf_threshold=0.1, nms_kernel_size=3,
+                                max_instances=MAX_INSTANCES, vehicles_id=1):
+    """Batch/time decode of the network output dict -> (b, s, h, w) instance ids.
+
+    Jittable (fixed shapes); reference driver loops in python (instance.py:272-292).
+    """
+    preds = jnp.argmax(output['segmentation'], axis=-1)       # (b, s, h, w)
+    foreground = preds == vehicles_id
+
+    def frame(center, offset, fg):
+        seg, _, _ = get_instance_segmentation_and_centers(
+            center, offset, fg, conf_threshold, nms_kernel_size, max_instances)
+        return seg
+
+    fn = jax.vmap(jax.vmap(frame))
+    return fn(output['instance_center'], output['instance_offset'], foreground)
+
+
+# ---------------------------------------------------------------------------
+# Host-side temporal consistency (Hungarian matching; reference instance.py:173-269)
+# ---------------------------------------------------------------------------
+
+def make_instance_id_temporally_consistent(pred_inst, future_flow,
+                                           matching_threshold=3.0):
+    """pred_inst: (1, s, h, w) int numpy; future_flow: (1, s, h, w, 2) numpy.
+
+    Returns (1, s, h, w) with ids consistent across time via flow-warped center
+    matching (Hungarian assignment, distance threshold, new ids for unmatched).
+    """
+    pred_inst = np.asarray(pred_inst)
+    future_flow = np.asarray(future_flow)
+    assert pred_inst.shape[0] == 1, 'Assumes batch size = 1'
+    _, seq_len, h, w = pred_inst.shape
+
+    consistent = [pred_inst[0, 0]]
+    largest_instance_id = int(consistent[0].max())
+
+    grid = np.stack(np.meshgrid(np.arange(h, dtype=np.float32),
+                                np.arange(w, dtype=np.float32), indexing='ij'))
+
+    for t in range(seq_len - 1):
+        # predicted future means: current centers advected by flow
+        warped_grid = grid + np.moveaxis(future_flow[0, t], -1, 0)
+        t_instance_ids = np.unique(consistent[-1])[1:]
+        if len(t_instance_ids) == 0:
+            consistent.append(pred_inst[0, t + 1])
+            continue
+
+        warped_centers = np.stack([
+            warped_grid[:, consistent[-1] == iid].mean(axis=1) for iid in t_instance_ids])
+
+        n_instances = int(pred_inst[0, t + 1].max())
+        if n_instances == 0:
+            consistent.append(pred_inst[0, t + 1])
+            continue
+        centers = np.stack([
+            grid[:, pred_inst[0, t + 1] == iid].mean(axis=1)
+            for iid in range(1, n_instances + 1)])
+
+        distances = np.linalg.norm(centers[None] - warped_centers[:, None], axis=-1)
+        ids_t, ids_t_one = scipy.optimize.linear_sum_assignment(distances)
+        matching_distances = distances[ids_t, ids_t_one]
+        ids_t = ids_t + 1
+        ids_t_one = ids_t_one + 1
+        # map matrix rows back to real ids
+        id_mapping = dict(zip(np.arange(1, len(t_instance_ids) + 1), t_instance_ids))
+        ids_t = np.array([id_mapping[i] for i in ids_t], dtype=np.int64)
+
+        keep = matching_distances < matching_threshold
+        ids_t, ids_t_one = ids_t[keep], ids_t_one[keep]
+
+        remaining = set(np.unique(pred_inst[0, t + 1])) - set(ids_t_one) - {0}
+        for rem in sorted(remaining):
+            largest_instance_id += 1
+            ids_t = np.append(ids_t, largest_instance_id)
+            ids_t_one = np.append(ids_t_one, rem)
+
+        lut = np.arange(max(int(ids_t_one.max(initial=0)), n_instances) + 1)
+        lut[ids_t_one] = ids_t
+        consistent.append(lut[pred_inst[0, t + 1]])
+
+    return np.stack(consistent)[None]
+
+
+def predict_instance_segmentation_and_trajectories(
+        output, compute_matched_centers=False, make_consistent=True, vehicles_id=1):
+    """Full postprocessing driver. Reference: instance.py:272-330.
+
+    output: network output dict (jnp). Returns numpy (b, s, h, w) consistent ids,
+    optionally with matched center trajectories {id: (T, 2) array in (y, x)}.
+    """
+    pred_inst = np.asarray(decode_instance_predictions(output, vehicles_id=vehicles_id))
+    batch_size, seq_len = pred_inst.shape[:2]
+
+    if make_consistent:
+        flow = output.get('instance_flow')
+        if flow is None:
+            flow = jnp.zeros_like(output['instance_offset'])
+        flow = np.asarray(flow)
+        consistent = np.concatenate([
+            make_instance_id_temporally_consistent(pred_inst[b:b + 1], flow[b:b + 1])
+            for b in range(batch_size)], axis=0)
+    else:
+        consistent = pred_inst
+
+    if compute_matched_centers:
+        assert batch_size == 1
+        matched_centers = {}
+        h, w = consistent.shape[-2:]
+        grid = np.stack(np.meshgrid(np.arange(h, dtype=np.float32),
+                                    np.arange(w, dtype=np.float32), indexing='ij'))
+        for instance_id in np.unique(consistent[0, 0])[1:]:
+            for t in range(seq_len):
+                mask = consistent[0, t] == instance_id
+                if mask.sum() > 0:
+                    matched_centers.setdefault(instance_id, []).append(
+                        grid[:, mask].mean(axis=-1))
+        matched_centers = {k: np.stack(v)[:, ::-1] for k, v in matched_centers.items()}
+        return consistent, matched_centers
+
+    return consistent

@@ -1,0 +1,147 @@
+"""Training losses, channels-last.
+
+Functional parity with /root/reference/fiery/losses.py and the uncertainty weighting in
+trainer.py:89-117: top-k hardest-pixel weighted CE for segmentation, L1/L2 spatial
+regression with ignore masks, closed-form diagonal-Gaussian KL, and learned
+homoscedastic task weights (log-variance parameters).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def spatial_regression_loss(prediction, target, norm, ignore_index=255,
+                            future_discount=1.0):
+    """L1/L2 regression with an ignore mask and per-timestep future discount.
+
+    prediction/target: (b, s, h, w, c). The ignore mask is taken from the first target
+    channel (identical across channels). Reference: losses.py:6-37.
+    """
+    assert prediction.ndim == 5, 'Must be a 5D tensor'
+    mask = target[..., :1] != ignore_index                    # (b, s, h, w, 1)
+    if norm == 1:
+        loss = jnp.abs(prediction - target)
+    elif norm == 2:
+        loss = (prediction - target) ** 2
+    else:
+        raise ValueError(f'Expected norm 1 or 2, got {norm}')
+
+    loss = jnp.sum(loss, axis=-1, keepdims=True)              # sum channels
+
+    s = loss.shape[1]
+    discounts = future_discount ** jnp.arange(s, dtype=loss.dtype)
+    loss = loss * discounts[None, :, None, None, None]
+
+    mask_f = mask.astype(loss.dtype)
+    denom = jnp.sum(mask_f)
+    total = jnp.sum(loss * mask_f)
+    # empty mask -> zero loss (reference losses.py:24-25)
+    return jnp.where(denom > 0, total / jnp.maximum(denom, 1.0), 0.0)
+
+
+def segmentation_loss(prediction, target, class_weights, ignore_index=255,
+                      use_top_k=False, top_k_ratio=1.0, future_discount=1.0):
+    """Per-pixel weighted CE + future discount + top-k hardest pixels.
+
+    prediction: (b, s, h, w, n_classes) logits; target: (b, s, h, w) int labels.
+    Reference: losses.py:40-77 (torch cross_entropy zeroes ignored pixels but keeps
+    them in the mean denominator after top-k selection — reproduced exactly).
+    """
+    b, s, h, w, _ = prediction.shape
+    class_weights = jnp.asarray(class_weights, dtype=prediction.dtype)
+
+    logp = jax.nn.log_softmax(prediction, axis=-1)
+    tgt = jnp.clip(target, 0, prediction.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    weights = class_weights[tgt]
+    valid = (target != ignore_index)
+    loss = jnp.where(valid, nll * weights, 0.0)               # (b, s, h, w)
+
+    discounts = future_discount ** jnp.arange(s, dtype=loss.dtype)
+    loss = loss * discounts[None, :, None, None]
+
+    loss = loss.reshape(b, s, h * w)
+    if use_top_k:
+        k = int(top_k_ratio * h * w)
+        loss, _ = jax.lax.top_k(loss, k)
+    return jnp.mean(loss)
+
+
+def probabilistic_loss(output):
+    """KL(future || present) for diagonal Gaussians, summed over the latent dim,
+    averaged over batch. Reference: losses.py:80-96.
+    """
+    present_mu = output['present_mu']
+    present_log_sigma = output['present_log_sigma']
+    future_mu = output['future_mu']
+    future_log_sigma = output['future_log_sigma']
+
+    var_future = jnp.exp(2.0 * future_log_sigma)
+    var_present = jnp.exp(2.0 * present_log_sigma)
+    kl_div = (
+        present_log_sigma - future_log_sigma - 0.5
+        + (var_future + (future_mu - present_mu) ** 2) / (2.0 * var_present)
+    )
+    return jnp.mean(jnp.sum(kl_div, axis=-1))
+
+
+def init_uncertainty_weights(instance_flow_enabled=True):
+    """Learned homoscedastic log-variance task weights (reference trainer.py:42-64)."""
+    weights = {
+        'segmentation_weight': jnp.zeros(()),
+        'centerness_weight': jnp.zeros(()),
+        'offset_weight': jnp.zeros(()),
+    }
+    if instance_flow_enabled:
+        weights['flow_weight'] = jnp.zeros(())
+    return weights
+
+
+def compute_losses(output, labels, uncertainty_weights, cfg):
+    """Full loss dict, matching reference trainer.py:88-117.
+
+    cfg is a CfgNode; labels holds 'segmentation' (b,s,h,w), 'centerness' (b,s,h,w,1),
+    'offset' (b,s,h,w,2), optionally 'flow' (b,s,h,w,2).
+    """
+    uw = uncertainty_weights
+    loss = {}
+
+    seg_factor = 1.0 / jnp.exp(uw['segmentation_weight'])
+    loss['segmentation'] = seg_factor * segmentation_loss(
+        output['segmentation'], labels['segmentation'],
+        class_weights=jnp.asarray(cfg.SEMANTIC_SEG.WEIGHTS),
+        ignore_index=cfg.DATASET.IGNORE_INDEX,
+        use_top_k=cfg.SEMANTIC_SEG.USE_TOP_K,
+        top_k_ratio=cfg.SEMANTIC_SEG.TOP_K_RATIO,
+        future_discount=cfg.FUTURE_DISCOUNT,
+    )
+    loss['segmentation_uncertainty'] = 0.5 * uw['segmentation_weight']
+
+    center_factor = 1.0 / (2.0 * jnp.exp(uw['centerness_weight']))
+    loss['instance_center'] = center_factor * spatial_regression_loss(
+        output['instance_center'], labels['centerness'], norm=2,
+        future_discount=cfg.FUTURE_DISCOUNT,
+    )
+    loss['centerness_uncertainty'] = 0.5 * uw['centerness_weight']
+
+    offset_factor = 1.0 / (2.0 * jnp.exp(uw['offset_weight']))
+    loss['instance_offset'] = offset_factor * spatial_regression_loss(
+        output['instance_offset'], labels['offset'], norm=1,
+        ignore_index=cfg.DATASET.IGNORE_INDEX,
+        future_discount=cfg.FUTURE_DISCOUNT,
+    )
+    loss['offset_uncertainty'] = 0.5 * uw['offset_weight']
+
+    if cfg.INSTANCE_FLOW.ENABLED:
+        flow_factor = 1.0 / (2.0 * jnp.exp(uw['flow_weight']))
+        loss['instance_flow'] = flow_factor * spatial_regression_loss(
+            output['instance_flow'], labels['flow'], norm=1,
+            ignore_index=cfg.DATASET.IGNORE_INDEX,
+            future_discount=cfg.FUTURE_DISCOUNT,
+        )
+        loss['flow_uncertainty'] = 0.5 * uw['flow_weight']
+
+    if cfg.PROBABILISTIC.ENABLED:
+        loss['probabilistic'] = cfg.PROBABILISTIC.WEIGHT * probabilistic_loss(output)
+
+    return loss

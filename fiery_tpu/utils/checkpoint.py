@@ -1,0 +1,65 @@
+"""Checkpoint save/load via orbax.
+
+Replaces Lightning checkpointing (reference train.py:29-32, trainer.py:19-22,
+evaluate.py:19): a checkpoint stores the full TrainState pytree plus the config dict,
+so evaluation can rebuild the exact model from the checkpoint alone (the reference
+stores hparams in the ckpt and rebuilds cfg from them).
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from fiery_tpu.training.trainer import TrainState
+from fiery_tpu.utils.config import get_cfg
+
+_STATE_DIR = 'state'
+_CFG_FILE = 'config.json'
+
+
+def save_checkpoint(path, state, cfg):
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        state_path = os.path.join(path, _STATE_DIR)
+        state_host = jax.tree.map(np.asarray, jax.device_get(state))
+        ckptr.save(state_path, state_host, force=True)
+    with open(os.path.join(path, _CFG_FILE), 'w') as f:
+        json.dump(cfg.convert_to_dict(), f, indent=2)
+
+
+def load_checkpoint(path, trainer=None):
+    """Returns (state, cfg). If ``trainer`` is given, the restored pytree is cast onto
+    its state structure; otherwise raw arrays are returned in a TrainState."""
+    path = os.path.abspath(path)
+    with open(os.path.join(path, _CFG_FILE)) as f:
+        cfg = get_cfg(cfg_dict=json.load(f))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.join(path, _STATE_DIR))
+    state = TrainState(
+        step=restored['step'], params=restored['params'],
+        batch_stats=restored['batch_stats'], opt_state=restored['opt_state'])
+    return state, cfg
+
+
+def load_pretrained_params(path, state):
+    """Partial warm start (reference train.py:20-27, strict=False): copy matching
+    entries from a checkpoint's params into ``state``, keep the rest."""
+    restored, _ = load_checkpoint(path)
+
+    def merge(dst, src):
+        out = {}
+        for k, v in dst.items():
+            if k in src and isinstance(v, dict):
+                out[k] = merge(v, src[k])
+            elif k in src and getattr(src[k], 'shape', None) == getattr(v, 'shape', None):
+                out[k] = src[k]
+            else:
+                out[k] = v
+        return out
+
+    new_params = merge(jax.device_get(state.params), jax.device_get(restored.params))
+    return state.replace(params=new_params)

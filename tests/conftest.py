@@ -18,3 +18,6 @@ if '--xla_force_host_platform_device_count' not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# persistent compilation cache: model-forward compiles are expensive on CPU
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_fiery_tpu')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

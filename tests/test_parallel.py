@@ -1,0 +1,100 @@
+"""Distributed tests on the virtual 8-device CPU mesh.
+
+Asserts the core DP invariants the reference gets from Lightning DDP + sync-BN
+(train.py:34-43): a data-parallel-sharded step equals the single-device step, and
+BatchNorm uses global-batch statistics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import flax.linen as nn
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fiery_tpu.parallel.mesh import (
+    create_mesh, make_parallel_train_step, shard_batch,
+)
+from fiery_tpu.data.synthetic import SyntheticFutureDataset
+from fiery_tpu.training.trainer import Trainer
+from fiery_tpu.utils.config import get_cfg
+
+
+def tiny_cfg():
+    return get_cfg(cfg_dict={
+        'TIME_RECEPTIVE_FIELD': 2, 'N_FUTURE_FRAMES': 1, 'BATCHSIZE': 8,
+        'IMAGE': {'FINAL_DIM': (16, 32), 'NAMES': ['CAM_A']},
+        'LIFT': {'X_BOUND': [-4.0, 4.0, 0.5], 'Y_BOUND': [-4.0, 4.0, 0.5],
+                 'D_BOUND': [2.0, 4.0, 1.0]},
+        'MODEL': {'ENCODER': {'NAME': 'efficientnet-b0', 'OUT_CHANNELS': 8},
+                  'TEMPORAL_MODEL': {'START_OUT_CHANNELS': 8, 'PYRAMID_POOLING': False},
+                  'DISTRIBUTION': {'LATENT_DIM': 2},
+                  'FUTURE_PRED': {'N_GRU_BLOCKS': 1, 'N_RES_LAYERS': 1}},
+    })
+
+
+def test_mesh_has_8_devices():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sync_batchnorm_global_statistics():
+    """BN under jit+sharding must normalise with global-batch stats, matching the
+    unsharded computation exactly (sync-BN)."""
+    mesh = create_mesh()
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+
+    m = M()
+    rng = np.random.RandomState(0)
+    # deliberately non-identically-distributed shards
+    x = np.concatenate([rng.randn(4, 6).astype(np.float32) * (i + 1) + i
+                        for i in range(8)])
+    variables = m.init(jax.random.key(0), jnp.asarray(x))
+
+    ref, ref_stats = m.apply(variables, jnp.asarray(x), mutable=['batch_stats'])
+
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P('data')))
+    f = jax.jit(lambda v, x: m.apply(v, x, mutable=['batch_stats']),
+                in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P('data'))))
+    out, stats = f(variables, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(stats)[0]),
+        np.asarray(jax.tree.leaves(ref_stats)[0]), atol=1e-6)
+
+
+def test_dp_step_matches_single_device():
+    """One DP-sharded train step == one unsharded train step (same batch)."""
+    cfg = tiny_cfg()
+    dataset = SyntheticFutureDataset(cfg, n_samples=8, n_instances=1, seed=0)
+    trainer = Trainer(cfg)
+    batch = {k: jnp.asarray(v) for k, v in dataset.get_batch(list(range(8))).items()}
+
+    state = jax.jit(trainer.init_state)(jax.random.key(0), batch)
+    single_state, single_metrics = jax.jit(trainer.train_step)(
+        state, batch, jax.random.key(1))
+
+    mesh = create_mesh()
+    pstep = make_parallel_train_step(trainer, mesh)
+    sharded_batch = shard_batch(batch, mesh)
+    dp_state, dp_metrics = pstep(state, sharded_batch, jax.random.key(1))
+
+    np.testing.assert_allclose(float(dp_metrics['total_loss']),
+                               float(single_metrics['total_loss']), rtol=1e-4)
+    # BN running stats must match the global-batch statistics (sync-BN); tolerance is
+    # relative because f32 reduction-order noise compounds through ~30 stacked BNs.
+    # (test_sync_batchnorm_global_statistics pins a single BN to 1e-6 with non-iid
+    # shards, which is the sharp collective-behaviour check.)
+    for a, b in zip(jax.tree.leaves(single_state.batch_stats),
+                    jax.tree.leaves(dp_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4)
+    # post-Adam params: the first-step update is ~±lr (m/sqrt(v) ~ sign(g)), so fp
+    # reduction-order noise in tiny grads can flip it; allow 2*lr slack
+    lr = cfg.OPTIMIZER.LR
+    for a, b in zip(jax.tree.leaves(single_state.params),
+                    jax.tree.leaves(dp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5 * lr)

@@ -1,0 +1,127 @@
+"""Training entry point.
+
+Usage parity with the reference (/root/reference/train.py, README.md:74-77):
+    python train.py --config fiery_tpu/configs/baseline.yml [KEY VALUE ...]
+
+The reference delegates distribution to Lightning DDP over cfg.GPUS with per-device
+batch cfg.BATCHSIZE (train.py:33-45). Here the same recipe is a data-parallel mesh:
+global batch = BATCHSIZE * n_shards, jit-sharded over the devices; sync-BN and the
+gradient all-reduce are emitted by XLA.
+"""
+
+import os
+import socket
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fiery_tpu.data.dataset import prepare_dataloaders
+from fiery_tpu.parallel.mesh import create_mesh, make_parallel_train_step, shard_batch
+from fiery_tpu.training.metrics import IntersectionOverUnion, PanopticMetric
+from fiery_tpu.training.trainer import Trainer
+from fiery_tpu.utils.checkpoint import load_pretrained_params, save_checkpoint
+from fiery_tpu.utils.config import get_cfg, get_parser
+
+
+class MetricLogger:
+    """TensorBoard if available, always a JSONL mirror."""
+
+    def __init__(self, log_dir):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl = open(os.path.join(log_dir, 'metrics.jsonl'), 'a')
+        try:
+            from flax.metrics import tensorboard
+            self.tb = tensorboard.SummaryWriter(log_dir)
+        except Exception:
+            self.tb = None
+
+    def scalar(self, key, value, step):
+        import json
+        self.jsonl.write(json.dumps({'step': int(step), key: float(value)}) + '\n')
+        self.jsonl.flush()
+        if self.tb is not None:
+            self.tb.scalar(key, float(value), step)
+
+
+def main():
+    args = get_parser().parse_args()
+    cfg = get_cfg(args)
+
+    n_devices = len(jax.devices())
+    n_shards = min(n_devices, max(1, len(cfg.GPUS)))
+    global_batch = cfg.BATCHSIZE * n_shards
+
+    cfg.defrost()
+    cfg.BATCHSIZE = global_batch
+    cfg.freeze()
+
+    trainloader, valloader = prepare_dataloaders(cfg)
+    trainer = Trainer(cfg)
+
+    save_dir = os.path.join(
+        cfg.LOG_DIR, time.strftime('%d%B%Y_%H%M') + '_' + socket.gethostname()
+        + '_' + cfg.TAG)
+    logger = MetricLogger(save_dir)
+    print(f'Logging to {save_dir}; devices={n_devices}, shards={n_shards}, '
+          f'global batch={global_batch}')
+
+    mesh = create_mesh(n_shards)
+    first_batch = None
+    for batch_np in trainloader:
+        first_batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        break
+    assert first_batch is not None, 'empty training dataset'
+
+    state = jax.jit(trainer.init_state)(jax.random.key(0), first_batch)
+    if cfg.PRETRAINED.LOAD_WEIGHTS and cfg.PRETRAINED.PATH:
+        print(f'Warm-starting from {cfg.PRETRAINED.PATH}')
+        state = load_pretrained_params(cfg.PRETRAINED.PATH, state)
+
+    train_step = make_parallel_train_step(trainer, mesh)
+    eval_step = jax.jit(trainer.eval_step)
+    rng = jax.random.key(42)
+
+    global_step = 0
+    for epoch in range(cfg.EPOCHS):
+        epoch_start = time.time()
+        for batch_np in trainloader:
+            batch = shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()}, mesh)
+            state, metrics = train_step(state, batch, rng)
+            global_step += 1
+            if global_step % cfg.LOGGING_INTERVAL == 0 or global_step == 1:
+                total = float(metrics['total_loss'])
+                print(f'epoch {epoch} step {global_step}: loss={total:.4f}')
+                for k, v in metrics.items():
+                    logger.scalar(k, float(v), global_step)
+
+        # validation: IoU + VPQ over the val loader
+        iou_metric = IntersectionOverUnion(trainer.model_cfg.n_classes)
+        panoptic_metric = PanopticMetric(trainer.model_cfg.n_classes)
+        from fiery_tpu.postprocess.instance import (
+            predict_instance_segmentation_and_trajectories)
+        for batch_np in valloader:
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            output, labels, loss_dict = eval_step(state, batch)
+            seg_pred = jnp.argmax(output['segmentation'], axis=-1)
+            iou_metric.update(np.asarray(seg_pred), np.asarray(labels['segmentation']))
+            consistent = predict_instance_segmentation_and_trajectories(output)
+            panoptic_metric.update(consistent, np.asarray(labels['instance']))
+        iou_scores = iou_metric.compute()
+        panoptic_scores = panoptic_metric.compute()
+        for name, score in zip(['background', 'dynamic'], iou_scores):
+            logger.scalar(f'val_iou_{name}', score, global_step)
+        logger.scalar('val_vpq_vehicles', panoptic_scores['pq'][1], global_step)
+        print(f'epoch {epoch} done in {time.time() - epoch_start:.1f}s: '
+              f'val IoU={list(np.round(iou_scores, 4))} '
+              f'VPQ={panoptic_scores["pq"][1]:.4f}')
+
+        save_checkpoint(os.path.join(save_dir, f'checkpoint_epoch{epoch}'), state, cfg)
+
+    save_checkpoint(os.path.join(save_dir, 'checkpoint_final'), state, cfg)
+    print(f'Training complete; checkpoints in {save_dir}')
+
+
+if __name__ == '__main__':
+    main()

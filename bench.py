@@ -2,47 +2,103 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Protocol (round 1): eval-mode forward of the full baseline model (6 cameras, 224x480,
-T=3 past frames, 4 future frames, BEV 200x200), batch 1, matching the reference
-evaluation protocol (evaluate.py:28-29,56-59: single GPU, batch 1, zero-noise mean
-prediction). vs_baseline is measured against an ESTIMATED PyTorch A100 reference
-forward throughput of 2.0 clips/s (the reference publishes no throughput numbers —
-BASELINE.json "published" is empty; this constant is a stand-in so the trend across
-rounds is meaningful, not a measured A100 number).
+Headline protocol: full training step (forward + backward + adamw update, losses incl.
+label warping) of the baseline model — 6 cameras, 224x480, T=3 past / 4 future frames,
+BEV 200x200 — at the reference per-GPU batch size 3 and PRECISION 16 (bf16 compute, as
+the reference trains fp16: baseline.yml:6). Metric = training clips/sec/chip.
+
+vs_baseline uses an ESTIMATED PyTorch A100 reference training throughput of
+4.5 clips/s/GPU (the reference publishes no throughput numbers — BASELINE.json
+"published" is empty; estimate = per-GPU batch 3 at ~1.5 it/s for a model of this size
+with 18 camera-frames per clip on A100 fp16). The constant keeps cross-round trends
+meaningful; it is not a measured number.
+
+Extra modes (not the headline line): --mode eval, --batch N, --precision {16,32}.
 """
 
+import argparse
 import json
 import time
 
-ESTIMATED_REFERENCE_CLIPS_PER_SEC = 2.0
+ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC = 4.5
+ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC = 2.0
+
+
+def bench_eval(batch, precision, n_iters=10):
+    import jax
+    import jax.numpy as jnp
+    from fiery_tpu.utils.config import get_cfg
+    from fiery_tpu.models.fiery import build_fiery
+    from fiery_tpu.data.synthetic import SyntheticFutureDataset
+
+    cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision})
+    model = build_fiery(cfg)
+    ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
+    b = ds.get_batch(list(range(batch)))
+    args = tuple(jnp.asarray(b[k]) for k in
+                 ['image', 'intrinsics', 'extrinsics', 'future_egomotion'])
+    variables = jax.jit(model.init, static_argnames='train')(
+        {'params': jax.random.key(0)}, *args, train=False)
+    fn = jax.jit(lambda v, *a: model.apply(v, *a, None, train=False))
+    out = fn(variables, *args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(variables, *args)
+    jax.block_until_ready(out)
+    return n_iters * batch / (time.perf_counter() - start)
+
+
+def bench_train(batch, precision, n_iters=10):
+    import jax
+    import jax.numpy as jnp
+    from fiery_tpu.utils.config import get_cfg
+    from fiery_tpu.training.trainer import Trainer
+    from fiery_tpu.data.synthetic import SyntheticFutureDataset
+
+    cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision,
+                            'BATCHSIZE': batch})
+    trainer = Trainer(cfg)
+    ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
+    b = {k: jnp.asarray(v) for k, v in ds.get_batch(list(range(batch))).items()}
+    state = jax.jit(trainer.init_state)(jax.random.key(0), b)
+    step = jax.jit(trainer.train_step)
+    rng = jax.random.key(1)
+    state, metrics = step(state, b, rng)   # compile + warm
+    jax.block_until_ready(state)
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, b, rng)
+    jax.block_until_ready(state)
+    return n_iters * batch / (time.perf_counter() - start)
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    from __graft_entry__ import entry
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--mode', default='train', choices=['train', 'eval'])
+    parser.add_argument('--batch', default=None, type=int)
+    parser.add_argument('--precision', default=None, type=int, choices=[16, 32])
+    parser.add_argument('--iters', default=10, type=int)
+    args = parser.parse_args()
 
-    fn, args = entry()
-    jfn = jax.jit(fn)
+    if args.mode == 'train':
+        batch = args.batch or 3
+        precision = args.precision or 16
+        value = bench_train(batch, precision, args.iters)
+        ref = ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC
+        metric = 'baseline_train_clips_per_sec_per_chip'
+    else:
+        batch = args.batch or 1
+        precision = args.precision or 32
+        value = bench_eval(batch, precision, args.iters)
+        ref = ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC
+        metric = 'baseline_eval_clips_per_sec_per_chip'
 
-    # warmup/compile
-    out = jfn(*args)
-    jax.block_until_ready(out)
-
-    n_iters = 10
-    batch = args[1].shape[0]
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = jfn(*args)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
-
-    clips_per_sec = n_iters * batch / elapsed
     print(json.dumps({
-        'metric': 'baseline_eval_clips_per_sec_per_chip',
-        'value': round(clips_per_sec, 4),
+        'metric': metric,
+        'value': round(value, 4),
         'unit': 'clips/s',
-        'vs_baseline': round(clips_per_sec / ESTIMATED_REFERENCE_CLIPS_PER_SEC, 4),
+        'vs_baseline': round(value / ref, 4),
     }))
 
 

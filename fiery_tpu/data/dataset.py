@@ -7,26 +7,55 @@ with a host-side iterator feeding jnp batches. Dataset backends:
     the nuscenes-devkit / lyft SDK and a dataroot, like the reference).
 """
 
+import multiprocessing as mp
 import threading
 import queue as queue_mod
 
 import numpy as np
 
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_load(idx):
+    samples = [_WORKER_DATASET[int(i)] for i in idx]
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
 from fiery_tpu.data.synthetic import SyntheticFutureDataset
 
 
 class DataLoader:
-    """Minimal host dataloader: shuffling, batching, drop_last, background prefetch."""
+    """Minimal host dataloader: shuffling, batching, drop_last, background prefetch.
+
+    Multi-host: pass (process_index, process_count) to have each host read a disjoint
+    shard of every (deterministically shuffled) epoch — the per-host batches then
+    concatenate to the global batch under jit (jax.make_array_from_process_local_data).
+    """
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False, seed=0,
-                 prefetch=2):
+                 prefetch=4, num_workers=0, process_index=0, process_count=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
+        self._pool = None
+
+    def _get_pool(self):
+        if self._pool is None and self.num_workers > 0:
+            ctx = mp.get_context('fork')
+            self._pool = ctx.Pool(self.num_workers, initializer=_worker_init,
+                                  initargs=(self.dataset,))
+        return self._pool
 
     def __len__(self):
         n = len(self.dataset)
@@ -38,8 +67,12 @@ class DataLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
+            # same permutation on every host; each host takes a strided shard
             rng = np.random.RandomState(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count]
+            n = len(order)
         batches = []
         for i in range(0, n, self.batch_size):
             idx = order[i:i + self.batch_size]
@@ -51,6 +84,13 @@ class DataLoader:
     def __iter__(self):
         self._epoch += 1
         batches = self._batch_indices()
+        pool = self._get_pool()
+        if pool is not None:
+            # parallel decode: keep `prefetch` batches in flight (the reference uses
+            # N_WORKERS torch DataLoader workers, data.py:452-457)
+            for out in pool.imap(_worker_load, batches):
+                yield out
+            return
         q = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
 
@@ -76,7 +116,7 @@ def prepare_dataloaders(cfg, return_dataset=False):
     """
     name = cfg.DATASET.NAME
     if name == 'synthetic':
-        n_train = getattr(cfg.DATASET, 'N_SYNTHETIC_SAMPLES', None) or 16
+        n_train = cfg.DATASET.N_SYNTHETIC_SAMPLES
         train_ds = SyntheticFutureDataset(cfg, n_samples=n_train, seed=0)
         val_ds = SyntheticFutureDataset(cfg, n_samples=max(2, n_train // 4), seed=1000)
     elif name in ('nuscenes', 'lyft'):
@@ -85,8 +125,11 @@ def prepare_dataloaders(cfg, return_dataset=False):
     else:
         raise ValueError(f'Unknown dataset {name}')
 
-    train_loader = DataLoader(train_ds, cfg.BATCHSIZE, shuffle=True, drop_last=True)
-    val_loader = DataLoader(val_ds, cfg.BATCHSIZE, shuffle=False, drop_last=False)
+    num_workers = cfg.N_WORKERS if name in ('nuscenes', 'lyft') else 0
+    train_loader = DataLoader(train_ds, cfg.BATCHSIZE, shuffle=True, drop_last=True,
+                              num_workers=num_workers)
+    val_loader = DataLoader(val_ds, cfg.BATCHSIZE, shuffle=False, drop_last=False,
+                            num_workers=num_workers)
     if return_dataset:
         return train_loader, val_loader, train_ds, val_ds
     return train_loader, val_loader

@@ -73,6 +73,7 @@ class FieryConfig:
     probabilistic_enabled: bool = True
     probabilistic_future_dim: int = 6
     precision: int = 32   # 16 -> bf16 compute (params stay f32; BN stats f32)
+    remat_lift: bool = True   # rematerialise encoder+splat in backward (saves ~3 GB)
 
     def __post_init__(self):
         H, W = self.final_dim
@@ -149,6 +150,36 @@ class FieryConfig:
         return jnp.bfloat16 if self.precision == 16 else jnp.float32
 
 
+class BEVLift(nn.Module):
+    """Encoder + depth-outer-product + voxel splat for one packed frame batch.
+
+    Isolated as a module so it can be wrapped with nn.remat: the EfficientNet
+    activations and the (BN, D, h, w, C) lifted volume are then recomputed during
+    backward, storing only the (B*S, X, Y, C) BEV output across the boundary.
+    """
+    cfg: FieryConfig
+
+    @nn.compact
+    def __call__(self, images, geometry, train: bool = False):
+        # images: (b*s, n, H, W, 3); geometry: (b*s, n, D, h, w, 3)
+        c = self.cfg
+        bs, n = images.shape[:2]
+        encoder = Encoder(
+            out_channels=c.encoder_out_channels,
+            depth_channels=c.depth_channels,
+            version=c.encoder_name.split('-')[1],
+            downsample=c.encoder_downsample,
+            use_depth_distribution=c.use_depth_distribution,
+            bn_momentum=c.bn_momentum,
+            dtype=c.compute_dtype,
+            name='encoder',
+        )
+        feats = encoder(images.reshape(bs * n, *images.shape[2:]), train)
+        feats = feats.reshape(bs, n, *feats.shape[1:])       # (b*s, n, D, h, w, C)
+        res, start, dim = c.bev_parameters
+        return lift_splat(feats, geometry.astype(feats.dtype), res, start, dim)
+
+
 class Fiery(nn.Module):
     cfg: FieryConfig
 
@@ -158,15 +189,8 @@ class Fiery(nn.Module):
         self.frustum = jnp.asarray(
             create_frustum(c.final_dim, c.encoder_downsample, c.d_bound))
 
-        self.encoder = Encoder(
-            out_channels=c.encoder_out_channels,
-            depth_channels=c.depth_channels,
-            version=c.encoder_name.split('-')[1],
-            downsample=c.encoder_downsample,
-            use_depth_distribution=c.use_depth_distribution,
-            bn_momentum=c.bn_momentum,
-            dtype=dtype,
-        )
+        lift_cls = nn.remat(BEVLift, static_argnums=(3,)) if c.remat_lift else BEVLift
+        self.bev_lift = lift_cls(cfg=c, name='bev_lift')
 
         temporal_in_channels = c.encoder_out_channels + (6 if c.input_egopose else 0)
         if c.temporal_name == 'identity':
@@ -274,20 +298,13 @@ class Fiery(nn.Module):
 
         Reference: fiery.py:275-286.
         """
-        c = self.cfg
         b, s, n = x.shape[:3]
         x = pack_sequence_dim(x)                   # (b*s, n, H, W, 3)
         intrinsics = pack_sequence_dim(intrinsics)
         extrinsics = pack_sequence_dim(extrinsics)
 
         geometry = get_geometry(self.frustum, intrinsics, extrinsics)  # (b*s, n, D, h, w, 3)
-
-        bn = x.shape[0] * n
-        feats = self.encoder(x.reshape(bn, *x.shape[2:]), train)       # (b*s*n, D, h, w, C)
-        feats = feats.reshape(b * s, n, *feats.shape[1:])              # (b*s, n, D, h, w, C)
-
-        res, start, dim = c.bev_parameters
-        bev = lift_splat(feats, geometry.astype(feats.dtype), res, start, dim)
+        bev = self.bev_lift(x, geometry, train)
         return unpack_sequence_dim(bev, b, s)      # (b, s, X, Y, C)
 
     def distribution_forward(self, present_features, future_distribution_inputs,

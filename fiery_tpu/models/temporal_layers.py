@@ -1,8 +1,19 @@
-"""Temporal (3D) building blocks and the SpatialGRU, NDHWC layout (B, T, H, W, C).
+"""Temporal building blocks and the SpatialGRU, layout (B, T, H, W, C).
 
-Re-design of the reference temporal layer zoo (/root/reference/fiery/layers/temporal.py).
-Causality is enforced by left-padding the time axis; the short rollouts (T in 3..10) are
-unrolled python loops that XLA pipelines — no dynamic control flow needed.
+Re-design of the reference temporal layer zoo (/root/reference/fiery/layers/temporal.py)
+with a TPU-critical twist: there are NO 3D convolutions. On TPU, NDHWC conv3d with a
+tiny time extent (T = 3..10) forces the time dimension into the (8, 128) tile and pads
+activations 2-4x (measured 700 MB per conv at baseline shapes). Instead:
+
+  * a causal (kt, 3, 3) conv over time is computed exactly as ONE 2D conv on the
+    channel-concatenation of the kt causally-shifted frames, with kernel
+    (3, 3, kt*C, O) — identical maths, MXU-friendly layout, fatter input channels;
+  * 1x1x1 convs are 1x1 2D convs over time packed into the batch;
+  * the causal average pool (kernel 2, count_include_pad=False) is the explicit
+    two-frame average with the first frame passed through.
+
+Causality is preserved by left-shifting with zero padding; rollouts remain unrolled
+python loops.
 """
 
 from typing import Any, Optional, Sequence, Tuple
@@ -10,34 +21,47 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from fiery_tpu.models.layers import BatchNorm, ConvBlock, conv2d, conv_init, resize_bilinear
+from fiery_tpu.utils.geometry import pack_sequence_dim, unpack_sequence_dim
 
 
-def conv3d(features, kernel_size, bias=False, name=None):
-    return nn.Conv(features, tuple(kernel_size), strides=(1, 1, 1),
-                   padding=((0, 0), (0, 0), (0, 0)) if kernel_size == (1, 1, 1) else 'VALID',
-                   use_bias=bias, kernel_init=conv_init, name=name)
+def _causal_stack(x, kt):
+    """(B, T, H, W, C) -> (B, T, H, W, kt*C): channels of frames [t-kt+1, ..., t],
+    zero-padded before t=0, ordered oldest-first (matching conv3d kernel time order)."""
+    if kt == 1:
+        return x
+    shifted = []
+    for offset in range(kt - 1, 0, -1):
+        pad = jnp.zeros_like(x[:, :offset])
+        shifted.append(jnp.concatenate([pad, x[:, :-offset]], axis=1))
+    shifted.append(x)
+    return jnp.concatenate(shifted, axis=-1)
 
 
 class Conv1x1x1NormActivated(nn.Module):
-    """1x1x1 conv + BN + ReLU. Reference: temporal.py:107-117."""
+    """1x1(x1) conv + BN + ReLU over time packed into batch. Reference: temporal.py:107-117."""
     out_channels: int
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_channels, (1, 1, 1), use_bias=False, kernel_init=conv_init,
-                    dtype=self.dtype)(x)
-        return nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(x, train))
+        b, t = x.shape[:2]
+        h = pack_sequence_dim(x)
+        h = nn.Conv(self.out_channels, (1, 1), use_bias=False, kernel_init=conv_init,
+                    dtype=self.dtype, name='Conv_0')(h)
+        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                              name='BatchNorm_0')(h, train))
+        return unpack_sequence_dim(h, b, t)
 
 
 class CausalConv3d(nn.Module):
-    """3D conv, causal in time (left-pad), symmetric spatial pad, + BN + ReLU.
+    """Causal (kt, kh, kw) temporal conv + BN + ReLU, computed as a single 2D conv on
+    causally-stacked channels. Reference: temporal.py:65-85.
 
-    Reference: temporal.py:65-85.
+    The kernel parameter has shape (kh, kw, kt*C_in, C_out); a torch Conv3d weight
+    (O, C, kt, kh, kw) maps onto it via transpose(3, 4, 2, 1, 0).reshape(kh, kw, -1, O).
     """
     out_channels: int
     kernel_size: Tuple[int, int, int] = (2, 3, 3)
@@ -48,26 +72,37 @@ class CausalConv3d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         kt, kh, kw = self.kernel_size
-        dt, dh, dw = self.dilation
-        tp = (kt - 1) * dt
-        hp = ((kh - 1) * dh) // 2
-        wp = ((kw - 1) * dw) // 2
-        x = nn.Conv(self.out_channels, self.kernel_size, strides=(1, 1, 1),
-                    padding=((tp, 0), (hp, hp), (wp, wp)),
-                    kernel_dilation=self.dilation, use_bias=False, kernel_init=conv_init,
-                    dtype=self.dtype)(x)
-        return nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(x, train))
+        assert self.dilation == (1, 1, 1), 'dilation unused by the reference'
+        b, t = x.shape[:2]
+        h = _causal_stack(x, kt)
+        h = pack_sequence_dim(h)
+        p_h, p_w = (kh - 1) // 2, (kw - 1) // 2
+        h = nn.Conv(self.out_channels, (kh, kw), padding=((p_h, p_h), (p_w, p_w)),
+                    use_bias=False, kernel_init=conv_init, dtype=self.dtype,
+                    name='Conv_0')(h)
+        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                              name='BatchNorm_0')(h, train))
+        return unpack_sequence_dim(h, b, t)
 
 
 def causal_max_pool3d(x, kernel_size=(2, 3, 3)):
     """Max pool, stride 1, causal time padding. Reference: temporal.py:88-104."""
     kt, kh, kw = kernel_size
-    pads = ((kt - 1, 0), ((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2)
-    return nn.max_pool(x, (kt, kh, kw), strides=(1, 1, 1), padding=pads)
+    b, t = x.shape[:2]
+    h = _causal_stack(x, kt)                       # (B, T, H, W, kt*C)
+    h = pack_sequence_dim(h)
+    pads = (((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2)
+    h = nn.max_pool(h, (kh, kw), strides=(1, 1), padding=pads)
+    h = unpack_sequence_dim(h, b, t)
+    # max over the kt stacked copies; frame 0 sees zero padding like the reference's
+    # ConstantPad3d (temporal.py:74)
+    C = x.shape[-1]
+    h = h.reshape(*h.shape[:-1], kt, C)
+    return jnp.max(h, axis=-2)
 
 
 class Bottleneck3D(nn.Module):
-    """1x1x1 down-project -> causal 3D conv -> 1x1x1 up-project, + residual.
+    """1x1 down-project -> causal temporal conv -> 1x1 up-project, + residual.
 
     Reference: temporal.py:120-164.
     """
@@ -87,39 +122,37 @@ class Bottleneck3D(nn.Module):
                          self.dtype)(h, train)
         h = Conv1x1x1NormActivated(out_channels, self.bn_momentum, self.dtype)(h, train)
         if out_channels != in_channels:
-            skip = nn.Conv(out_channels, (1, 1, 1), use_bias=False, kernel_init=conv_init,
-                           dtype=self.dtype)(x)
-            skip = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(skip, train)
+            b, t = x.shape[:2]
+            skip = pack_sequence_dim(x)
+            skip = nn.Conv(out_channels, (1, 1), use_bias=False, kernel_init=conv_init,
+                           dtype=self.dtype, name='Conv_0')(skip)
+            skip = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                             name='BatchNorm_0')(skip, train)
+            skip = unpack_sequence_dim(skip, b, t)
         else:
             skip = x
         return h + skip
 
 
 def _causal_avg_pool3d(x, pool_size):
-    """AvgPool3d(kernel=pool, stride=(1, ph, pw), time pad 1 both sides,
-    count_include_pad=False) with the last time step dropped -> causal 2-frame average.
-
-    Reference: temporal.py:186-192, 207.
+    """Reference AvgPool3d(kernel=(2, ph, pw), stride=(1, ph, pw), time pad (1, 1),
+    count_include_pad=False) with the last step dropped == out[0] = spatial_avg(x[0]),
+    out[t] = (spatial_avg(x[t-1]) + spatial_avg(x[t])) / 2. Reference: temporal.py:186-207.
     """
     kt, ph, pw = pool_size
-    window = (1, kt, ph, pw, 1)
-    strides = (1, 1, ph, pw, 1)
-    padding = ((0, 0), (kt - 1, kt - 1), (0, 0), (0, 0), (0, 0))
-    sums = lax.reduce_window(x, 0.0, lax.add, window, strides, padding)
-    counts = lax.reduce_window(jnp.ones_like(x[..., :1]), 0.0, lax.add,
-                               window, strides, padding)
-    out = sums / counts
-    if kt > 1:
-        out = out[:, :-(kt - 1)]
-    return out
+    assert kt == 2
+    b, t = x.shape[:2]
+    h = pack_sequence_dim(x)
+    h = nn.avg_pool(h, (ph, pw), strides=(ph, pw))     # floor-mode spatial average
+    h = unpack_sequence_dim(h, b, t)
+    prev = jnp.concatenate([h[:, :1], h[:, :-1]], axis=1)
+    counts = jnp.concatenate([jnp.ones((1,)), jnp.full((t - 1,), 2.0)]).astype(h.dtype)
+    return (jnp.where(jnp.arange(t)[None, :, None, None, None] == 0, 0.0, prev) + h) \
+        / counts[None, :, None, None, None]
 
 
 class PyramidSpatioTemporalPooling(nn.Module):
-    """Causal spatio-temporal pyramid pooling: per pool size, average-pool (time kernel 2),
-    1x1x1 conv+BN+ReLU, bilinear-upsample back to (H, W); concat over pyramid levels.
-
-    Reference: temporal.py:167-215.
-    """
+    """Causal spatio-temporal pyramid pooling. Reference: temporal.py:167-215."""
     reduction_channels: int
     pool_sizes: Sequence[Tuple[int, int, int]]
     bn_momentum: float = 0.1
@@ -141,9 +174,7 @@ class PyramidSpatioTemporalPooling(nn.Module):
 
 class TemporalBlock(nn.Module):
     """Parallel causal conv paths (2x3x3, 1x3x3, 1x1x1) + optional pyramid pooling,
-    aggregated by a 1x1x1 conv, with a residual connection.
-
-    Reference: temporal.py:218-281.
+    aggregated by a 1x1 conv, with a residual connection. Reference: temporal.py:218-281.
     """
     out_channels: Optional[int] = None
     use_pyramid_pooling: bool = False
@@ -175,9 +206,13 @@ class TemporalBlock(nn.Module):
         h = Conv1x1x1NormActivated(out_channels, self.bn_momentum, self.dtype)(h, train)
 
         if out_channels != in_channels:
-            skip = nn.Conv(out_channels, (1, 1, 1), use_bias=False, kernel_init=conv_init,
-                           dtype=self.dtype)(x)
-            skip = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(skip, train)
+            b, t = x.shape[:2]
+            skip = pack_sequence_dim(x)
+            skip = nn.Conv(out_channels, (1, 1), use_bias=False, kernel_init=conv_init,
+                           dtype=self.dtype, name='Conv_0')(skip)
+            skip = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                             name='BatchNorm_0')(skip, train)
+            skip = unpack_sequence_dim(skip, b, t)
         else:
             skip = x
         return skip + h

@@ -204,6 +204,7 @@ _C.DATASET.VERSION = 'trainval'
 _C.DATASET.NAME = 'nuscenes'
 _C.DATASET.IGNORE_INDEX = 255
 _C.DATASET.FILTER_INVISIBLE_VEHICLES = True
+_C.DATASET.N_SYNTHETIC_SAMPLES = 16  # synthetic backend only
 
 _C.TIME_RECEPTIVE_FIELD = 3
 _C.N_FUTURE_FRAMES = 4

@@ -258,3 +258,52 @@ def test_fiery_bf16_compute():
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(variables['params']))
     # BN running stats stay f32 too
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(variables['batch_stats']))
+
+
+def test_causal_avg_pool_matches_torch():
+    """_causal_avg_pool3d must match torch AvgPool3d(count_include_pad=False) with the
+    reference's padding/slicing (temporal.py:186-207)."""
+    import torch
+    from fiery_tpu.models.temporal_layers import _causal_avg_pool3d
+    rng = np.random.RandomState(0)
+    b, t, h, w, c = 2, 3, 8, 8, 4
+    x = rng.randn(b, t, h, w, c).astype(np.float32)
+    pool = (2, 4, 4)
+    ours = np.asarray(_causal_avg_pool3d(jnp.asarray(x), pool))
+
+    xt = torch.as_tensor(x).permute(0, 4, 1, 2, 3)  # (b, c, t, h, w)
+    ref = torch.nn.functional.avg_pool3d(
+        xt, kernel_size=pool, stride=(1, pool[1], pool[2]), padding=(1, 0, 0),
+        count_include_pad=False)[:, :, :-1]
+    ref = ref.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_causal_conv_matches_3d_oracle():
+    """The channel-stacked 2D causal conv must equal a direct (left-padded) 3D conv."""
+    import torch
+    from fiery_tpu.models.temporal_layers import CausalConv3d
+    rng = np.random.RandomState(1)
+    b, t, h, w, c, o = 1, 3, 6, 6, 4, 5
+    x = rng.randn(b, t, h, w, c).astype(np.float32)
+    m = CausalConv3d(out_channels=o, kernel_size=(2, 3, 3))
+    variables = m.init({'params': jax.random.key(0)}, jnp.asarray(x))
+    # bypass BN/relu: compare pre-activation by setting BN to identity
+    v = variables['params']
+    kernel = np.asarray(v['Conv_0']['kernel'])        # (3, 3, 2*c, o)
+    # reconstruct the equivalent torch conv3d weight (o, c, 2, 3, 3)
+    k = kernel.reshape(3, 3, 2, c, o)
+    wt = np.transpose(k, (4, 3, 2, 0, 1))
+    xt = torch.as_tensor(x).permute(0, 4, 1, 2, 3)
+    xt = torch.nn.functional.pad(xt, (1, 1, 1, 1, 1, 0))  # w, h, causal t
+    ref = torch.nn.functional.conv3d(xt, torch.as_tensor(wt)).permute(0, 2, 3, 4, 1).numpy()
+
+    # our pre-BN output: run the conv part manually
+    from fiery_tpu.models.temporal_layers import _causal_stack
+    from fiery_tpu.utils.geometry import pack_sequence_dim, unpack_sequence_dim
+    stacked = pack_sequence_dim(_causal_stack(jnp.asarray(x), 2))
+    ours = jax.lax.conv_general_dilated(
+        np.asarray(stacked), kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    ours = np.asarray(unpack_sequence_dim(ours, b, t))
+    np.testing.assert_allclose(ours, ref, atol=1e-4)

@@ -44,10 +44,26 @@ class MetricLogger:
         if self.tb is not None:
             self.tb.scalar(key, float(value), step)
 
+    def video(self, key, frames, step):
+        """frames: (1, T, H, W, 3) uint8 GT-vs-pred panel (reference trainer.py:193-198,
+        logged as a TB video; written here as per-frame images)."""
+        if self.tb is None:
+            return
+        for t in range(frames.shape[1]):
+            self.tb.image(f'{key}/t{t}', frames[0, t], step)
+
 
 def main():
-    args = get_parser().parse_args()
+    parser = get_parser()
+    parser.add_argument('--resume', default='', type=str,
+                        help='checkpoint directory to resume training from')
+    parser.add_argument('--profile-dir', default='', type=str,
+                        help='start a jax.profiler trace into this directory')
+    args = parser.parse_args()
     cfg = get_cfg(args)
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
 
     n_devices = len(jax.devices())
     n_shards = min(n_devices, max(1, len(cfg.GPUS)))
@@ -75,7 +91,13 @@ def main():
     assert first_batch is not None, 'empty training dataset'
 
     state = jax.jit(trainer.init_state)(jax.random.key(0), first_batch)
-    if cfg.PRETRAINED.LOAD_WEIGHTS and cfg.PRETRAINED.PATH:
+    start_epoch = 0
+    if args.resume:
+        from fiery_tpu.utils.checkpoint import load_checkpoint
+        print(f'Resuming from {args.resume}')
+        state, _ = load_checkpoint(args.resume)
+        start_epoch = int(np.asarray(state.step)) // max(1, len(trainloader))
+    elif cfg.PRETRAINED.LOAD_WEIGHTS and cfg.PRETRAINED.PATH:
         print(f'Warm-starting from {cfg.PRETRAINED.PATH}')
         state = load_pretrained_params(cfg.PRETRAINED.PATH, state)
 
@@ -83,8 +105,8 @@ def main():
     eval_step = jax.jit(trainer.eval_step)
     rng = jax.random.key(42)
 
-    global_step = 0
-    for epoch in range(cfg.EPOCHS):
+    global_step = int(np.asarray(state.step))
+    for epoch in range(start_epoch, cfg.EPOCHS):
         epoch_start = time.time()
         for batch_np in trainloader:
             batch = shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()}, mesh)
@@ -95,6 +117,12 @@ def main():
                 print(f'epoch {epoch} step {global_step}: loss={total:.4f}')
                 for k, v in metrics.items():
                     logger.scalar(k, float(v), global_step)
+            if global_step % cfg.VIS_INTERVAL == 0:
+                # GT-vs-pred panel video (reference trainer.py:206-207)
+                from fiery_tpu.utils.visualisation import visualise_output
+                output, labels, _ = eval_step(state, batch)
+                logger.video('train_outputs', visualise_output(labels, output, cfg),
+                             global_step)
 
         # validation: IoU + VPQ over the val loader
         iou_metric = IntersectionOverUnion(trainer.model_cfg.n_classes)
@@ -108,6 +136,17 @@ def main():
             iou_metric.update(np.asarray(seg_pred), np.asarray(labels['segmentation']))
             consistent = predict_instance_segmentation_and_trajectories(output)
             panoptic_metric.update(consistent, np.asarray(labels['instance']))
+        # uncertainty-weight logging (reference trainer.py:236-246)
+        uw = jax.device_get(state.params['uncertainty'])
+        logger.scalar('segmentation_weight', 1.0 / np.exp(uw['segmentation_weight']),
+                      global_step)
+        logger.scalar('centerness_weight', 1.0 / (2 * np.exp(uw['centerness_weight'])),
+                      global_step)
+        logger.scalar('offset_weight', 1.0 / (2 * np.exp(uw['offset_weight'])),
+                      global_step)
+        if 'flow_weight' in uw:
+            logger.scalar('flow_weight', 1.0 / (2 * np.exp(uw['flow_weight'])),
+                          global_step)
         iou_scores = iou_metric.compute()
         panoptic_scores = panoptic_metric.compute()
         for name, score in zip(['background', 'dynamic'], iou_scores):
@@ -120,6 +159,8 @@ def main():
         save_checkpoint(os.path.join(save_dir, f'checkpoint_epoch{epoch}'), state, cfg)
 
     save_checkpoint(os.path.join(save_dir, 'checkpoint_final'), state, cfg)
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     print(f'Training complete; checkpoints in {save_dir}')
 
 

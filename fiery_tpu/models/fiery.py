@@ -153,9 +153,10 @@ class FieryConfig:
 class BEVLift(nn.Module):
     """Encoder + depth-outer-product + voxel splat for one packed frame batch.
 
-    Isolated as a module so it can be wrapped with nn.remat: the EfficientNet
-    activations and the (BN, D, h, w, C) lifted volume are then recomputed during
-    backward, storing only the (B*S, X, Y, C) BEV output across the boundary.
+    The encoder is wrapped with nn.remat (cfg.remat_lift): its EfficientNet
+    activations and the (BN*n, D, h, w, C) lifted volume are recomputed during
+    backward (the encoder replay costs ~2 ms at baseline shapes), while the splat
+    stays OUTSIDE the remat boundary so its expensive scatter is not replayed.
     """
     cfg: FieryConfig
 
@@ -164,7 +165,8 @@ class BEVLift(nn.Module):
         # images: (b*s, n, H, W, 3); geometry: (b*s, n, D, h, w, 3)
         c = self.cfg
         bs, n = images.shape[:2]
-        encoder = Encoder(
+        encoder_cls = nn.remat(Encoder, static_argnums=(2,)) if c.remat_lift else Encoder
+        encoder = encoder_cls(
             out_channels=c.encoder_out_channels,
             depth_channels=c.depth_channels,
             version=c.encoder_name.split('-')[1],
@@ -189,8 +191,7 @@ class Fiery(nn.Module):
         self.frustum = jnp.asarray(
             create_frustum(c.final_dim, c.encoder_downsample, c.d_bound))
 
-        lift_cls = nn.remat(BEVLift, static_argnums=(3,)) if c.remat_lift else BEVLift
-        self.bev_lift = lift_cls(cfg=c, name='bev_lift')
+        self.bev_lift = BEVLift(cfg=c, name='bev_lift')
 
         temporal_in_channels = c.encoder_out_channels + (6 if c.input_egopose else 0)
         if c.temporal_name == 'identity':

@@ -212,3 +212,71 @@ def predict_instance_segmentation_and_trajectories(
         return consistent, matched_centers
 
     return consistent
+
+
+# ---------------------------------------------------------------------------
+# Device-side temporal consistency (greedy matching, fully jittable)
+# ---------------------------------------------------------------------------
+
+def make_instance_id_temporally_consistent_device(pred_inst, future_flow,
+                                                  matching_threshold=3.0,
+                                                  max_instances=MAX_INSTANCES):
+    """Jittable greedy variant of the Hungarian ID association.
+
+    pred_inst: (s, h, w) int32 (single sequence); future_flow: (s, h, w, 2).
+    Greedy nearest-center matching (threshold 3.0) instead of the Hungarian optimum;
+    identical in the common low-density case, and keeps the whole eval path on device.
+    Returns (s, h, w) int32 with temporally consistent ids.
+    """
+    s, h, w = pred_inst.shape
+    K = max_instances + 1  # slot per possible id, 0 = background
+
+    grid = jnp.stack(jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                  jnp.arange(w, dtype=jnp.float32), indexing='ij'))
+
+    def centers_of(frame, weights_grid):
+        """Mean position of each id 1..K-1 under the given coordinate grid."""
+        onehot = jax.nn.one_hot(frame, K, dtype=jnp.float32)          # (h, w, K)
+        counts = onehot.sum(axis=(0, 1))                               # (K,)
+        cx = (weights_grid[0][..., None] * onehot).sum(axis=(0, 1))
+        cy = (weights_grid[1][..., None] * onehot).sum(axis=(0, 1))
+        denom = jnp.maximum(counts, 1.0)
+        return jnp.stack([cx / denom, cy / denom], -1), counts > 0     # (K, 2), (K,)
+
+    def step(carry, t):
+        consistent_prev, next_free_id = carry
+        cur = pred_inst[t]
+
+        warped_grid = grid + jnp.moveaxis(future_flow[t - 1], -1, 0)
+        prev_centers, prev_valid = centers_of(consistent_prev, warped_grid)
+        cur_centers, cur_valid = centers_of(cur, grid)
+
+        # distance matrix between warped previous centers and current centers
+        dist = jnp.linalg.norm(prev_centers[:, None] - cur_centers[None, :], axis=-1)
+        dist = jnp.where(prev_valid[:, None] & cur_valid[None, :], dist, jnp.inf)
+        dist = dist.at[:, 0].set(jnp.inf).at[0, :].set(jnp.inf)
+
+        # greedy: each current id claims its nearest previous id if it is also the
+        # mutual nearest and within threshold
+        best_prev = jnp.argmin(dist, axis=0)                 # for each cur id
+        best_cur = jnp.argmin(dist, axis=1)                  # for each prev id
+        cur_ids = jnp.arange(K)
+        mutual = best_cur[best_prev] == cur_ids
+        dmin = jnp.min(dist, axis=0)
+        matched = mutual & (dmin < matching_threshold) & cur_valid
+
+        # new ids for unmatched current instances (consecutive after next_free_id)
+        unmatched = cur_valid & ~matched & (cur_ids > 0)
+        new_rank = jnp.cumsum(unmatched.astype(jnp.int32)) - 1
+        lut = jnp.where(matched, best_prev, next_free_id + new_rank)
+        lut = lut.at[0].set(0)
+        lut = jnp.where(cur_valid | (cur_ids == 0), lut, 0)
+
+        consistent = lut[cur]
+        next_free_id = next_free_id + unmatched.sum()
+        return (consistent, next_free_id), consistent
+
+    first = pred_inst[0]
+    init_next = first.max() + 1
+    (_, _), rest = jax.lax.scan(step, (first, init_next), jnp.arange(1, s))
+    return jnp.concatenate([first[None], rest], axis=0)

@@ -6,8 +6,43 @@ regression with ignore masks, closed-form diagonal-Gaussian KL, and learned
 homoscedastic task weights (log-variance parameters).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _top_k_mean(loss, k):
+    """Mean of the k largest entries along the last axis (averaged over all dims).
+
+    Forward matches jnp.mean(lax.top_k(loss, k)[0]) exactly; the custom backward is a
+    threshold mask (grad distributed over entries >= the k-th value) instead of a
+    scatter through sort indices — the index scatter dominates the loss backward on
+    TPU. With ties at the threshold the mask subgradient spreads the same total
+    gradient over the tied entries (a valid subgradient; exact whenever untied).
+    """
+    vals = jax.lax.top_k(loss, k)[0]
+    return jnp.mean(vals)
+
+
+def _top_k_mean_fwd(loss, k):
+    vals, _ = jax.lax.top_k(loss, k)
+    kth = vals[..., -1:]
+    return jnp.mean(vals), (loss, kth)
+
+
+def _top_k_mean_bwd(k, res, g):
+    loss, kth = res
+    mask = (loss >= kth).astype(loss.dtype)
+    count = jnp.maximum(mask.sum(axis=-1, keepdims=True), 1.0)
+    n_rows = loss.size // loss.shape[-1]
+    # total gradient per row = g * k / (n_rows * k) = g / n_rows, spread over the mask
+    d = g * mask * (k / count) / (n_rows * k)
+    return (d,)
+
+
+_top_k_mean.defvjp(_top_k_mean_fwd, _top_k_mean_bwd)
 
 
 def spatial_regression_loss(prediction, target, norm, ignore_index=255,
@@ -63,7 +98,7 @@ def segmentation_loss(prediction, target, class_weights, ignore_index=255,
     loss = loss.reshape(b, s, h * w)
     if use_top_k:
         k = int(top_k_ratio * h * w)
-        loss, _ = jax.lax.top_k(loss, k)
+        return _top_k_mean(loss, k)
     return jnp.mean(loss)
 
 

@@ -135,3 +135,18 @@ def test_uncertainty_weight_factors():
     assert float(loss['segmentation_uncertainty']) == 0.0
     # KL(N(1,1)||N(0,1)) = 0.5 per dim, 4 dims, x100 weight
     np.testing.assert_allclose(float(loss['probabilistic']), 100.0 * 2.0, rtol=1e-5)
+
+
+def test_top_k_mean_gradient_matches_sort_autodiff():
+    """Threshold-mask backward == autodiff through top_k when values are untied."""
+    import jax
+    from fiery_tpu.training.losses import _top_k_mean
+    rng = np.random.RandomState(5)
+    loss = jnp.asarray(rng.rand(2, 3, 40).astype(np.float32))  # untied w.p. 1
+    k = 10
+    g_ours = jax.grad(lambda l: _top_k_mean(l, k))(loss)
+    g_ref = jax.grad(lambda l: jnp.mean(jax.lax.top_k(l, k)[0]))(loss)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), atol=1e-7)
+    # forward values equal too
+    np.testing.assert_allclose(float(_top_k_mean(loss, k)),
+                               float(jnp.mean(jax.lax.top_k(loss, k)[0])), rtol=1e-6)

@@ -307,3 +307,20 @@ def test_causal_conv_matches_3d_oracle():
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     ours = np.asarray(unpack_sequence_dim(ours, b, t))
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_fishing_stress_config_shapes():
+    """fishing_setting.yml geometry: 10 cm grid -> 320x192 BEV, 28 depth bins."""
+    cfg = FieryConfig(
+        time_receptive_field=2, n_future_frames=1,
+        final_dim=(32, 48), x_bound=(-16.0, 16.0, 0.1), y_bound=(-9.6, 9.7, 0.1),
+        d_bound=(2.0, 16.0, 0.5), encoder_name='efficientnet-b0',
+        encoder_out_channels=8, start_out_channels=8, latent_dim=2,
+        n_gru_blocks=1, n_res_layers=1)
+    assert cfg.bev_size == (320, 192)
+    assert cfg.depth_channels == 28
+    model = Fiery(cfg=cfg)
+    image, intr, extr, ego, _ = tiny_batch(cfg, seq=3)
+    fdi = jnp.zeros((1, 2, 320, 192, 6))
+    out, _ = init_and_apply(model, image, intr, extr, ego, fdi, train=False)
+    assert out['segmentation'].shape == (1, 2, 320, 192, 2)

@@ -175,3 +175,45 @@ def test_predict_instance_segmentation_driver():
     assert consistent.shape == (1, 2, h, w)
     assert set(np.unique(consistent)) == {0, 1}
     assert 1 in centers and centers[1].shape == (2, 2)
+
+
+def test_device_greedy_temporal_consistency():
+    """The jittable greedy matcher must agree with the host Hungarian on simple
+    (non-conflicting) scenes, and run under jit."""
+    import jax
+    h = w = 32
+    s = 3
+    pred_inst = np.zeros((s, h, w), np.int32)
+    flow = np.zeros((s, h, w, 2), np.float32)
+    # instance A moves right 4 px/frame; instance B static; per-frame ids swap order
+    for t in range(s):
+        a_id, b_id = (1, 2) if t % 2 == 0 else (2, 1)
+        pred_inst[t, 10:14, 4 + 4 * t: 8 + 4 * t] = a_id
+        pred_inst[t, 24:28, 24:28] = b_id
+        flow[t, 10:14, :, 1] = 4.0
+    out_dev = np.asarray(jax.jit(I.make_instance_id_temporally_consistent_device)(
+        jnp.asarray(pred_inst), jnp.asarray(flow)))
+    out_host = I.make_instance_id_temporally_consistent(
+        pred_inst[None].astype(np.int64), flow[None])[0]
+    # both must track: the moving instance keeps one id across frames
+    for out in (out_dev, out_host):
+        ids_a = {int(out[t][11, 5 + 4 * t]) for t in range(s)}
+        ids_b = {int(out[t][25, 25]) for t in range(s)}
+        assert len(ids_a) == 1, out
+        assert len(ids_b) == 1
+        assert ids_a != ids_b
+
+
+def test_device_greedy_new_instance():
+    import jax
+    h = w = 32
+    pred_inst = np.zeros((2, h, w), np.int32)
+    pred_inst[0, 4:8, 4:8] = 1
+    pred_inst[1, 4:8, 4:8] = 1
+    pred_inst[1, 20:24, 20:24] = 2
+    flow = np.zeros((2, h, w, 2), np.float32)
+    out = np.asarray(jax.jit(I.make_instance_id_temporally_consistent_device)(
+        jnp.asarray(pred_inst), jnp.asarray(flow)))
+    assert (out[1][4:8, 4:8] == 1).all()
+    new_id = int(out[1][21, 21])
+    assert new_id not in (0, 1)

@@ -8,6 +8,7 @@ stores hparams in the ckpt and rebuilds cfg from them).
 
 import json
 import os
+import threading
 
 import jax
 import numpy as np
@@ -18,6 +19,8 @@ from fiery_tpu.utils.config import get_cfg
 
 _STATE_DIR = 'state'
 _CFG_FILE = 'config.json'
+_async_lock = threading.Lock()
+_async_thread = [None]
 
 
 def save_checkpoint(path, state, cfg):
@@ -29,6 +32,35 @@ def save_checkpoint(path, state, cfg):
         ckptr.save(state_path, state_host, force=True)
     with open(os.path.join(path, _CFG_FILE), 'w') as f:
         json.dump(cfg.convert_to_dict(), f, indent=2)
+
+
+def save_checkpoint_async(path, state, cfg):
+    """Non-blocking checkpoint: device->host transfer happens now, the disk write on a
+    background thread (one in flight at a time — preemption-tolerant training saves
+    without stalling the step loop; the reference has no async story, Lightning blocks).
+    """
+    state_host = jax.tree.map(np.asarray, jax.device_get(state))
+    cfg_dict = cfg.convert_to_dict()
+
+    def write():
+        with _async_lock:
+            p = os.path.abspath(path)
+            os.makedirs(p, exist_ok=True)
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(os.path.join(p, _STATE_DIR), state_host, force=True)
+            with open(os.path.join(p, _CFG_FILE), 'w') as f:
+                json.dump(cfg_dict, f, indent=2)
+
+    wait_for_async_save()
+    t = threading.Thread(target=write, daemon=True)
+    _async_thread[0] = t
+    t.start()
+
+
+def wait_for_async_save():
+    t = _async_thread[0]
+    if t is not None and t.is_alive():
+        t.join()
 
 
 def load_checkpoint(path, trainer=None):

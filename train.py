@@ -21,7 +21,8 @@ from fiery_tpu.data.dataset import prepare_dataloaders
 from fiery_tpu.parallel.mesh import create_mesh, make_parallel_train_step, shard_batch
 from fiery_tpu.training.metrics import IntersectionOverUnion, PanopticMetric
 from fiery_tpu.training.trainer import Trainer
-from fiery_tpu.utils.checkpoint import load_pretrained_params, save_checkpoint
+from fiery_tpu.utils.checkpoint import (load_pretrained_params, save_checkpoint,
+                                        save_checkpoint_async, wait_for_async_save)
 from fiery_tpu.utils.config import get_cfg, get_parser
 
 
@@ -156,8 +157,10 @@ def main():
               f'val IoU={list(np.round(iou_scores, 4))} '
               f'VPQ={panoptic_scores["pq"][1]:.4f}')
 
-        save_checkpoint(os.path.join(save_dir, f'checkpoint_epoch{epoch}'), state, cfg)
+        save_checkpoint_async(os.path.join(save_dir, f'checkpoint_epoch{epoch}'),
+                              state, cfg)
 
+    wait_for_async_save()
     save_checkpoint(os.path.join(save_dir, 'checkpoint_final'), state, cfg)
     if args.profile_dir:
         jax.profiler.stop_trace()

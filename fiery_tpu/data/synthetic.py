@@ -15,7 +15,13 @@ from fiery_tpu.utils.geometry import calculate_birds_eye_view_parameters
 
 
 class SyntheticFutureDataset:
-    def __init__(self, cfg, n_samples=8, n_instances=3, seed=0):
+    """learnable=True paints each instance into the camera images as a bright blob at
+    its projected pixel location (size ~ 1/depth), so the lift-splat geometry path has
+    real signal to learn from; learnable=False keeps pure-noise images (mechanics-only
+    testing)."""
+
+    def __init__(self, cfg, n_samples=8, n_instances=3, seed=0, learnable=True):
+        self.learnable = learnable
         self.cfg = cfg
         self.n_samples = n_samples
         self.n_instances = n_instances
@@ -59,7 +65,7 @@ class SyntheticFutureDataset:
         H, W = self.final_dim
         X, Y = self.bev_size
 
-        image = rng.randn(s, n, H, W, 3).astype(np.float32)
+        image = 0.3 * rng.randn(s, n, H, W, 3).astype(np.float32)
         intrinsics, extrinsics = self._camera_rig(rng)
         intrinsics = np.broadcast_to(intrinsics, (s, n, 3, 3)).copy()
         extrinsics = np.broadcast_to(extrinsics, (s, n, 4, 4)).copy()
@@ -84,6 +90,9 @@ class SyntheticFutureDataset:
                 if xs < xe and ys < ye:
                     instance[t, xs:xe, ys:ye] = inst_id
 
+        if self.learnable:
+            self._paint_instances(image, instance, intrinsics, extrinsics, rng)
+
         segmentation = (instance > 0).astype(np.int32)[..., None]
         center, offset, flow = convert_instance_mask_to_center_and_offset_label(
             instance, future_egomotion, num_instances=self.n_instances,
@@ -101,6 +110,46 @@ class SyntheticFutureDataset:
             'offset': offset,
             'flow': flow,
         }
+
+    def _paint_instances(self, image, instance, intrinsics, extrinsics, rng):
+        """Draw a coloured gaussian blob per instance in every camera that sees it."""
+        s, n = image.shape[:2]
+        H, W = self.final_dim
+        res_x = (2 * self.spatial_extent[0]) / self.bev_size[0]
+        res_y = (2 * self.spatial_extent[1]) / self.bev_size[1]
+        vv, uu = np.meshgrid(np.arange(H, dtype=np.float32),
+                             np.arange(W, dtype=np.float32), indexing='ij')
+        n_inst = int(instance.max())
+        colours = rng.uniform(1.5, 3.0, (n_inst + 1, 3)).astype(np.float32)
+        for t in range(s):
+            for inst_id in range(1, n_inst + 1):
+                mask = instance[t] == inst_id
+                if not mask.any():
+                    continue
+                ix, iy = np.argwhere(mask).mean(axis=0)
+                # BEV bin -> ego metres (bin centers span [-extent, extent])
+                x_m = (ix + 0.5) * res_x - self.spatial_extent[0]
+                y_m = (iy + 0.5) * res_y - self.spatial_extent[1]
+                p_ego = np.array([x_m, y_m, 0.5, 1.0])
+                for cam in range(n):
+                    E = extrinsics[t, cam]
+                    K = intrinsics[t, cam]
+                    E_inv = np.eye(4)
+                    R = E[:3, :3]
+                    E_inv[:3, :3] = R.T
+                    E_inv[:3, 3] = -R.T @ E[:3, 3]
+                    p_cam = E_inv @ p_ego
+                    z = p_cam[2]
+                    if z < 2.0:
+                        continue
+                    u = K[0, 0] * p_cam[0] / z + K[0, 2]
+                    v = K[1, 1] * p_cam[1] / z + K[1, 2]
+                    if not (-20 <= u < W + 20 and -20 <= v < H + 20):
+                        continue
+                    sigma = max(2.0, 60.0 / z)
+                    blob = np.exp(-(((uu - u) ** 2) + ((vv - v) ** 2))
+                                  / (2 * sigma ** 2)).astype(np.float32)
+                    image[t, cam] += blob[..., None] * colours[inst_id]
 
     def get_batch(self, indices):
         samples = [self[i] for i in indices]

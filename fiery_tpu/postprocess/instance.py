@@ -9,6 +9,7 @@ Reference: /root/reference/fiery/utils/instance.py:80-330. TPU-first split:
     distance threshold 3.0 and new-id allocation semantics.
 """
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -175,6 +176,12 @@ def make_instance_id_temporally_consistent(pred_inst, future_flow,
     return np.stack(consistent)[None]
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_decode(vehicles_id):
+    return jax.jit(functools.partial(decode_instance_predictions,
+                                     vehicles_id=vehicles_id))
+
+
 def predict_instance_segmentation_and_trajectories(
         output, compute_matched_centers=False, make_consistent=True, vehicles_id=1):
     """Full postprocessing driver. Reference: instance.py:272-330.
@@ -182,7 +189,9 @@ def predict_instance_segmentation_and_trajectories(
     output: network output dict (jnp). Returns numpy (b, s, h, w) consistent ids,
     optionally with matched center trajectories {id: (T, 2) array in (y, x)}.
     """
-    pred_inst = np.asarray(decode_instance_predictions(output, vehicles_id=vehicles_id))
+    decode_in = {k: output[k] for k in
+                 ['segmentation', 'instance_center', 'instance_offset']}
+    pred_inst = np.asarray(_jitted_decode(vehicles_id)(decode_in))
     batch_size, seq_len = pred_inst.shape[:2]
 
     if make_consistent:

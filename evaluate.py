@@ -48,10 +48,10 @@ def eval_checkpoint(checkpoint_path, dataroot=None, version=None, max_batches=No
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         output, labels, _ = eval_step(state, batch)
 
-        seg_pred = np.asarray(jnp.argmax(output['segmentation'], axis=-1))
-        seg_label = np.asarray(labels['segmentation'])
+        seg_pred = np.asarray(jnp.argmax(output['segmentation'], axis=-1).astype(jnp.uint8))
+        seg_label = np.asarray(labels['segmentation'].astype(jnp.uint8))
         consistent = predict_instance_segmentation_and_trajectories(output)
-        inst_label = np.asarray(labels['instance'])
+        inst_label = np.asarray(labels['instance'].astype(jnp.int16))
 
         for key, (start, end) in ranges.items():
             iou_metrics[key].update(seg_pred[..., start:end, start:end],

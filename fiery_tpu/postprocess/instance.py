@@ -178,8 +178,11 @@ def make_instance_id_temporally_consistent(pred_inst, future_flow,
 
 @functools.lru_cache(maxsize=None)
 def _jitted_decode(vehicles_id):
-    return jax.jit(functools.partial(decode_instance_predictions,
-                                     vehicles_id=vehicles_id))
+    def fn(output):
+        # int16 halves the device->host transfer (ids are capped at MAX_INSTANCES)
+        return decode_instance_predictions(output, vehicles_id=vehicles_id).astype(
+            jnp.int16)
+    return jax.jit(fn)
 
 
 def predict_instance_segmentation_and_trajectories(
@@ -198,7 +201,7 @@ def predict_instance_segmentation_and_trajectories(
         flow = output.get('instance_flow')
         if flow is None:
             flow = jnp.zeros_like(output['instance_offset'])
-        flow = np.asarray(flow)
+        flow = np.asarray(flow.astype(jnp.float16)).astype(np.float32)
         consistent = np.concatenate([
             make_instance_id_temporally_consistent(pred_inst[b:b + 1], flow[b:b + 1])
             for b in range(batch_size)], axis=0)

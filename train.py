@@ -133,10 +133,13 @@ def main():
         for batch_np in valloader:
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             output, labels, loss_dict = eval_step(state, batch)
-            seg_pred = jnp.argmax(output['segmentation'], axis=-1)
-            iou_metric.update(np.asarray(seg_pred), np.asarray(labels['segmentation']))
+            # compress on device before pulling: the device->host link can be slow
+            seg_pred = jnp.argmax(output['segmentation'], axis=-1).astype(jnp.uint8)
+            iou_metric.update(np.asarray(seg_pred),
+                              np.asarray(labels['segmentation'].astype(jnp.uint8)))
             consistent = predict_instance_segmentation_and_trajectories(output)
-            panoptic_metric.update(consistent, np.asarray(labels['instance']))
+            panoptic_metric.update(consistent,
+                                   np.asarray(labels['instance'].astype(jnp.int16)))
         # uncertainty-weight logging (reference trainer.py:236-246)
         uw = jax.device_get(state.params['uncertainty'])
         logger.scalar('segmentation_weight', 1.0 / np.exp(uw['segmentation_weight']),

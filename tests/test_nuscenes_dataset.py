@@ -211,3 +211,33 @@ def test_normalise_image_roundtrip():
     expected = (128 / 255.0 - np.array([0.485, 0.456, 0.406])) / np.array(
         [0.229, 0.224, 0.225])
     np.testing.assert_allclose(out[0, 0], expected, atol=1e-6)
+
+
+def test_lyft_subsample_path(tmp_path_factory):
+    """MODEL.SUBSAMPLE: every other frame kept, egomotions composed (data.py:403-416)."""
+    root = tmp_path_factory.mktemp('fake_lyft')
+    nusc = FakeNusc(str(root))
+    cfg = get_cfg(cfg_dict={
+        'TIME_RECEPTIVE_FIELD': 3, 'N_FUTURE_FRAMES': 1,   # window 4 -> subsampled to 2
+        'MODEL': {'SUBSAMPLE': True},
+        'IMAGE': {'FINAL_DIM': (24, 48), 'RESIZE_SCALE': 0.5, 'TOP_CROP': 2,
+                  'ORIGINAL_HEIGHT': 64, 'ORIGINAL_WIDTH': 112,
+                  'NAMES': ['CAM_FRONT', 'CAM_BACK']},
+        'LIFT': {'X_BOUND': [-16.0, 16.0, 1.0], 'Y_BOUND': [-16.0, 16.0, 1.0]},
+    })
+    ds = _FakeBackedDataset(nusc, True, cfg)
+    sample = ds[0]
+    # window length 4 subsampled ::2 -> 2 frames
+    assert sample['image'].shape[0] == 2
+    assert sample['future_egomotion'].shape == (2, 6)
+    # composed egomotion of two +2 m steps = one -4 m step (t0-in-t1 convention)
+    np.testing.assert_allclose(sample['future_egomotion'][0],
+                               [-4.0, 0, 0, 0, 0, 0], atol=1e-5)
+
+
+def test_fiery_config_subsample_semantics():
+    """Lyft subsample forces receptive_field 3 / n_future 5 (reference fiery.py:39-42)."""
+    from fiery_tpu.models.fiery import FieryConfig
+    cfg = FieryConfig(time_receptive_field=5, n_future_frames=10, subsample=True)
+    assert cfg.receptive_field == 3
+    assert cfg.n_future == 5

@@ -15,7 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from fiery_tpu.data.dataset import prepare_dataloaders
-from fiery_tpu.postprocess.instance import predict_instance_segmentation_and_trajectories
+from fiery_tpu.postprocess.instance import (
+    decode_instance_predictions,
+    make_instance_id_temporally_consistent_device,
+    predict_instance_segmentation_and_trajectories,
+)
 from fiery_tpu.training.metrics import IntersectionOverUnion, PanopticMetric
 from fiery_tpu.training.trainer import Trainer
 from fiery_tpu.utils.checkpoint import load_checkpoint
@@ -23,7 +27,20 @@ from fiery_tpu.utils.checkpoint import load_checkpoint
 EVALUATION_RANGES = {'30x30': (70, 130), '100x100': (0, 200)}
 
 
-def eval_checkpoint(checkpoint_path, dataroot=None, version=None, max_batches=None):
+@jax.jit
+def _device_consistent(output):
+    """Fully-on-device postprocessing: decode + greedy temporal ID matching (vmapped
+    over the batch). Alternative to the host Hungarian path (--device-matching)."""
+    pred_inst = decode_instance_predictions(
+        {k: output[k] for k in ['segmentation', 'instance_center', 'instance_offset']})
+    flow = output['instance_flow']
+    if flow is None:
+        flow = jnp.zeros_like(output['instance_offset'])
+    return jax.vmap(make_instance_id_temporally_consistent_device)(pred_inst, flow)
+
+
+def eval_checkpoint(checkpoint_path, dataroot=None, version=None, max_batches=None,
+                    device_matching=False):
     state, cfg = load_checkpoint(checkpoint_path)
     cfg.defrost()
     cfg.BATCHSIZE = 1
@@ -50,7 +67,10 @@ def eval_checkpoint(checkpoint_path, dataroot=None, version=None, max_batches=No
 
         seg_pred = np.asarray(jnp.argmax(output['segmentation'], axis=-1).astype(jnp.uint8))
         seg_label = np.asarray(labels['segmentation'].astype(jnp.uint8))
-        consistent = predict_instance_segmentation_and_trajectories(output)
+        if device_matching:
+            consistent = np.asarray(_device_consistent(output).astype(jnp.int16))
+        else:
+            consistent = predict_instance_segmentation_and_trajectories(output)
         inst_label = np.asarray(labels['instance'].astype(jnp.int16))
 
         for key, (start, end) in ranges.items():
@@ -85,10 +105,13 @@ def main():
     parser.add_argument('--dataroot', default=None, type=str)
     parser.add_argument('--version', default=None, type=str)
     parser.add_argument('--max-batches', default=None, type=int)
+    parser.add_argument('--device-matching', action='store_true',
+                        help='use the jittable greedy ID matcher instead of the host '
+                             'Hungarian (keeps the whole eval path on device)')
     args = parser.parse_args()
 
     results = eval_checkpoint(args.checkpoint, args.dataroot, args.version,
-                              args.max_batches)
+                              args.max_batches, device_matching=args.device_matching)
     for panoptic_key in ['iou', 'pq', 'sq', 'rq']:
         print(panoptic_key)
         print('    '.join([f'{k}: {v:.4f}' for k, v in results.items()

@@ -115,3 +115,21 @@ def test_predict_step_without_labels(setup):
     out = jax.jit(trainer.predict_step)(state, batch)
     assert out['future_mu'] is None  # no future labels provided
     assert out['segmentation'].shape[1] == 1 + cfg.N_FUTURE_FRAMES
+
+
+def test_checkpoint_roundtrip_bit_identical_eval(setup, tmp_path):
+    """save -> load -> eval must be bit-identical (SURVEY test strategy)."""
+    from fiery_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+    cfg, dataset, trainer, batch, state = setup
+    out1, _, _ = jax.jit(trainer.eval_step)(state, batch)
+
+    path = str(tmp_path / 'ckpt')
+    save_checkpoint(path, state, cfg)
+    restored, cfg2 = load_checkpoint(path)
+    assert cfg2.convert_to_dict() == cfg.convert_to_dict()
+    trainer2 = Trainer(cfg2)
+    out2, _, _ = jax.jit(trainer2.eval_step)(restored, batch)
+    np.testing.assert_array_equal(np.asarray(out1['segmentation']),
+                                  np.asarray(out2['segmentation']))
+    np.testing.assert_array_equal(np.asarray(out1['instance_center']),
+                                  np.asarray(out2['instance_center']))

@@ -13,6 +13,7 @@ The dataset only touches a narrow indexing interface (``nusc.sample``, ``nusc.ge
 interchangeable. pyquaternion is replaced by fiery_tpu.utils.quaternion.
 """
 
+import hashlib
 import os
 
 import numpy as np
@@ -106,6 +107,17 @@ class FuturePredictionDataset:
             calculate_birds_eye_view_parameters(
                 cfg.LIFT.X_BOUND, cfg.LIFT.Y_BOUND, cfg.LIFT.Z_BOUND))
         self.spatial_extent = (cfg.LIFT.X_BOUND[1], cfg.LIFT.Y_BOUND[1])
+
+        # optional on-disk cache of the rasterised labels: the cv2.fillPoly pass is
+        # a large share of host __getitem__ time and is deterministic per sample
+        self.label_cache_dir = cfg.DATASET.LABEL_CACHE_DIR
+        if self.label_cache_dir:
+            grid_key = hashlib.md5(str((
+                cfg.LIFT.X_BOUND, cfg.LIFT.Y_BOUND, cfg.LIFT.Z_BOUND,
+                cfg.DATASET.FILTER_INVISIBLE_VEHICLES, self.is_lyft,
+            )).encode()).hexdigest()[:10]
+            self.label_cache_dir = os.path.join(self.label_cache_dir, grid_key)
+            os.makedirs(self.label_cache_dir, exist_ok=True)
 
     # -- indexing ---------------------------------------------------------
     def get_scenes(self):
@@ -211,6 +223,35 @@ class FuturePredictionDataset:
         rot_inv = quat_inverse(yaw_quat(yaw))
         return trans, rot_inv
 
+    def get_label_cached(self, rec, instance_map):
+        """Cache wrapper: rasterise once per sample (with LOCAL instance ids + the
+        instance tokens), then remap local ids onto the window-consistent map."""
+        if not self.label_cache_dir:
+            return self.get_birds_eye_view_label(rec, instance_map)
+
+        path = os.path.join(self.label_cache_dir, rec['token'] + '.npz')
+        if os.path.exists(path):
+            data = np.load(path, allow_pickle=False)
+            seg, inst_local = data['segmentation'], data['instance']
+            z_pos, attr = data['z_position'], data['attribute']
+            tokens = [t for t in data['tokens']]
+        else:
+            local_map = {}
+            seg, inst_local, z_pos, local_map, attr = self.get_birds_eye_view_label(
+                rec, local_map)
+            tokens = [t for t, _ in sorted(local_map.items(), key=lambda kv: kv[1])]
+            np.savez_compressed(path, segmentation=seg, instance=inst_local,
+                                z_position=z_pos, attribute=attr,
+                                tokens=np.asarray(tokens, dtype=str))
+
+        # remap local ids (1..n in token order) to window-consistent global ids
+        lut = np.zeros(len(tokens) + 1, dtype=inst_local.dtype)
+        for local_id, token in enumerate(tokens, start=1):
+            if token not in instance_map:
+                instance_map[token] = len(instance_map) + 1
+            lut[local_id] = instance_map[token]
+        return seg, lut[inst_local.astype(np.int64)], z_pos, instance_map, attr
+
     def get_birds_eye_view_label(self, rec, instance_map):
         """Rasterise annotations into (X, Y) segmentation/instance/z/attribute maps.
 
@@ -297,7 +338,7 @@ class FuturePredictionDataset:
         for index_t in self.indices[index]:
             rec = self.ixes[index_t]
             img, intr, extr = self.get_input_data(rec)
-            seg, inst, z_pos, instance_map, attr = self.get_birds_eye_view_label(
+            seg, inst, z_pos, instance_map, attr = self.get_label_cached(
                 rec, instance_map)
             images.append(img)
             intrinsics.append(intr)

@@ -205,6 +205,7 @@ _C.DATASET.NAME = 'nuscenes'
 _C.DATASET.IGNORE_INDEX = 255
 _C.DATASET.FILTER_INVISIBLE_VEHICLES = True
 _C.DATASET.N_SYNTHETIC_SAMPLES = 16  # synthetic backend only
+_C.DATASET.LABEL_CACHE_DIR = ''  # cache rasterised BEV labels on disk ('' = off)
 
 _C.TIME_RECEPTIVE_FIELD = 3
 _C.N_FUTURE_FRAMES = 4

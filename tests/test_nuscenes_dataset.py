@@ -241,3 +241,31 @@ def test_fiery_config_subsample_semantics():
     cfg = FieryConfig(time_receptive_field=5, n_future_frames=10, subsample=True)
     assert cfg.receptive_field == 3
     assert cfg.n_future == 5
+
+
+def test_label_cache_round_trip(tmp_path_factory):
+    """Cached labels must equal freshly-rasterised ones, with window-consistent ids."""
+    root = tmp_path_factory.mktemp('fake_nusc_cache')
+    nusc = FakeNusc(str(root))
+    cache = str(tmp_path_factory.mktemp('label_cache'))
+    base = {
+        'TIME_RECEPTIVE_FIELD': 2, 'N_FUTURE_FRAMES': 1,
+        'IMAGE': {'FINAL_DIM': (24, 48), 'RESIZE_SCALE': 0.5, 'TOP_CROP': 2,
+                  'ORIGINAL_HEIGHT': 64, 'ORIGINAL_WIDTH': 112,
+                  'NAMES': ['CAM_FRONT']},
+        'LIFT': {'X_BOUND': [-16.0, 16.0, 1.0], 'Y_BOUND': [-16.0, 16.0, 1.0]},
+    }
+    cfg_plain = get_cfg(cfg_dict=base)
+    cfg_cached = get_cfg(cfg_dict={**base, 'DATASET': {'LABEL_CACHE_DIR': cache}})
+
+    ds_plain = _FakeBackedDataset(nusc, True, cfg_plain)
+    ds_cached = _FakeBackedDataset(nusc, True, cfg_cached)
+
+    a = ds_plain[0]
+    b = ds_cached[0]     # populates the cache
+    c = ds_cached[0]     # reads from the cache
+    for key in ['segmentation', 'instance', 'centerness', 'offset', 'flow']:
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+        np.testing.assert_array_equal(b[key], c[key], err_msg=key)
+    import os
+    assert len(os.listdir(ds_cached.label_cache_dir)) > 0

@@ -62,7 +62,7 @@ def bench_train(batch, precision, n_iters=10):
     ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
     b = {k: jnp.asarray(v) for k, v in ds.get_batch(list(range(batch))).items()}
     state = jax.jit(trainer.init_state)(jax.random.key(0), b)
-    step = jax.jit(trainer.train_step)
+    step = jax.jit(trainer.train_step, donate_argnums=(0,))
     rng = jax.random.key(1)
     state, metrics = step(state, b, rng)   # compile + warm
     jax.block_until_ready(state)

@@ -38,11 +38,15 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = 'data'):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
-def make_parallel_train_step(trainer, mesh: Mesh, axis_name: str = 'data'):
+def make_parallel_train_step(trainer, mesh: Mesh, axis_name: str = 'data',
+                             donate_state: bool = False):
     """jit the trainer's train_step with batch sharded on the data axis.
 
     State and rng are replicated; XLA inserts psum for gradients and global batch
     statistics for BN (reference sync_batchnorm parity, train.py:37).
+    donate_state=True donates the input TrainState buffers (params + optimizer state,
+    ~1 GB at baseline scale) so XLA updates them in place — only safe when the caller
+    rebinds ``state = step(state, ...)`` and never reuses the old state.
     """
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis_name)
@@ -50,6 +54,7 @@ def make_parallel_train_step(trainer, mesh: Mesh, axis_name: str = 'data'):
         trainer.train_step,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate_state else (),
     )
 
 

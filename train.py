@@ -102,7 +102,7 @@ def main():
         print(f'Warm-starting from {cfg.PRETRAINED.PATH}')
         state = load_pretrained_params(cfg.PRETRAINED.PATH, state)
 
-    train_step = make_parallel_train_step(trainer, mesh)
+    train_step = make_parallel_train_step(trainer, mesh, donate_state=True)
     eval_step = jax.jit(trainer.eval_step)
     rng = jax.random.key(42)
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fiery_tpu.data.dataset import prepare_dataloaders
+from fiery_tpu.data.dataset import numeric_batch, prepare_dataloaders
 from fiery_tpu.postprocess.instance import (
     decode_instance_predictions,
     make_instance_id_temporally_consistent_device,
@@ -62,7 +62,7 @@ def eval_checkpoint(checkpoint_path, dataroot=None, version=None, max_batches=No
     for i, batch_np in enumerate(valloader):
         if max_batches is not None and i >= max_batches:
             break
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        batch = {k: jnp.asarray(v) for k, v in numeric_batch(batch_np).items()}
         output, labels, _ = eval_step(state, batch)
 
         seg_pred = np.asarray(jnp.argmax(output['segmentation'], axis=-1).astype(jnp.uint8))
@@ -110,6 +110,10 @@ def main():
                              'Hungarian (keeps the whole eval path on device)')
     args = parser.parse_args()
 
+    if args.device_matching:
+        print('NOTE: --device-matching uses a greedy mutual-nearest ID matcher, not '
+              'the reference Hungarian protocol; VPQ numbers are not directly '
+              'comparable to published reference numbers.')
     results = eval_checkpoint(args.checkpoint, args.dataroot, args.version,
                               args.max_batches, device_matching=args.device_matching)
     for panoptic_key in ['iou', 'pq', 'sq', 'rq']:

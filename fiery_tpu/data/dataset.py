@@ -109,10 +109,20 @@ class DataLoader:
             yield item
 
 
-def prepare_dataloaders(cfg, return_dataset=False):
+def numeric_batch(batch):
+    """Drop non-numeric entries (e.g. 'sample_token' string arrays) from a stacked
+    batch so the remainder is safe to feed to jnp.asarray / device_put."""
+    return {k: v for k, v in batch.items()
+            if np.asarray(v).dtype.kind in 'biufc'}
+
+
+def prepare_dataloaders(cfg, return_dataset=False, batch_size=None):
     """Build (train_loader, val_loader) for the configured dataset.
 
     Reference: data.py:429-462 (train: shuffle + drop_last; val: sequential).
+    batch_size overrides cfg.BATCHSIZE (e.g. the global batch in data-parallel
+    training, where cfg.BATCHSIZE stays the per-chip size like the reference's
+    per-GPU BATCHSIZE, configs/baseline.yml:5).
     """
     name = cfg.DATASET.NAME
     if name == 'synthetic':
@@ -126,9 +136,10 @@ def prepare_dataloaders(cfg, return_dataset=False):
         raise ValueError(f'Unknown dataset {name}')
 
     num_workers = cfg.N_WORKERS if name in ('nuscenes', 'lyft') else 0
-    train_loader = DataLoader(train_ds, cfg.BATCHSIZE, shuffle=True, drop_last=True,
+    bs = cfg.BATCHSIZE if batch_size is None else batch_size
+    train_loader = DataLoader(train_ds, bs, shuffle=True, drop_last=True,
                               num_workers=num_workers)
-    val_loader = DataLoader(val_ds, cfg.BATCHSIZE, shuffle=False, drop_last=False,
+    val_loader = DataLoader(val_ds, bs, shuffle=False, drop_last=False,
                             num_workers=num_workers)
     if return_dataset:
         return train_loader, val_loader, train_ds, val_ds

@@ -304,7 +304,9 @@ class FuturePredictionDataset:
             (pts - self.bev_start_position[:2] + self.bev_resolution[:2] / 2.0)
             / self.bev_resolution[:2]).astype(np.int32)
         pts[:, [1, 0]] = pts[:, [0, 1]]
-        z = corners[2, 0]
+        # z label is the rotated box-CENTRE height (reference uses box.center[2]
+        # after the yaw-only rotation, data.py:296-300), not a bottom-corner z.
+        z = (rot @ center)[2]
         return pts, z
 
     def get_future_egomotion(self, rec, index):

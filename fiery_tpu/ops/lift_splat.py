@@ -64,7 +64,10 @@ def voxel_ids(geometry, bev_resolution, bev_start_position, bev_dimension):
     res = jnp.asarray(bev_resolution, dtype=geometry.dtype)
     start = jnp.asarray(bev_start_position, dtype=geometry.dtype)
     dim = np.asarray(bev_dimension)
-    vox = jnp.floor((geometry - (start - res / 2.0)) / res).astype(jnp.int32)
+    # trunc (toward zero), not floor: the reference casts with .long()
+    # (models/fiery.py:236-237), so fractional bins in (-1, 0) land in bin 0 and
+    # survive the bounds mask.
+    vox = jnp.trunc((geometry - (start - res / 2.0)) / res).astype(jnp.int32)
     valid = jnp.all((vox >= 0) & (vox < jnp.asarray(dim, dtype=jnp.int32)), axis=-1)
     X, Y, Z = int(dim[0]), int(dim[1]), int(dim[2])
     flat = (vox[..., 0] * Y + vox[..., 1]) * Z + vox[..., 2]

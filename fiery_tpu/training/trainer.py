@@ -40,10 +40,14 @@ class Trainer:
         self.spatial_extent = self.model_cfg.spatial_extent
         self.receptive_field = self.model_cfg.receptive_field
 
+        # torch.optim.Adam semantics (reference trainer.py:254-260): weight decay is
+        # COUPLED L2 — wd*param is added to the (already clipped) gradient before the
+        # Adam moment updates — not AdamW's decoupled decay.
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.GRAD_NORM_CLIP),
-            optax.adamw(learning_rate=cfg.OPTIMIZER.LR,
-                        weight_decay=cfg.OPTIMIZER.WEIGHT_DECAY),
+            optax.add_decayed_weights(cfg.OPTIMIZER.WEIGHT_DECAY),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale(-cfg.OPTIMIZER.LR),
         )
 
     # ------------------------------------------------------------------

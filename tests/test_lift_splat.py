@@ -23,7 +23,9 @@ def oracle_splat(features, geometry, res, start, dim):
     out = np.zeros((X, Y, C), dtype=np.float64)
     pts = features.reshape(-1, C)
     geo = geometry.reshape(-1, 3)
-    vox = np.floor((geo - (start - res / 2.0)) / res).astype(np.int64)
+    # .astype truncates toward zero, matching the reference's .long() cast
+    # (models/fiery.py:236-237)
+    vox = ((geo - (start - res / 2.0)) / res).astype(np.int64)
     valid = ((vox >= 0) & (vox < np.asarray([X, Y, Z]))).all(axis=-1)
     for p in range(pts.shape[0]):
         if valid[p]:

@@ -133,3 +133,37 @@ def test_checkpoint_roundtrip_bit_identical_eval(setup, tmp_path):
                                   np.asarray(out2['segmentation']))
     np.testing.assert_array_equal(np.asarray(out1['instance_center']),
                                   np.asarray(out2['instance_center']))
+
+
+def test_optimizer_matches_torch_adam():
+    """The optax chain must reproduce torch.optim.Adam with coupled L2 weight decay
+    (reference trainer.py:254-260) step-for-step on a toy parameter."""
+    import torch
+    import optax
+
+    lr, wd = 3e-4, 1e-2  # large wd so a decoupled-decay bug is visible
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(5, 3).astype(np.float32)
+    grads = [rng.randn(5, 3).astype(np.float32) * 10 for _ in range(4)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        torch.nn.utils.clip_grad_norm_([tp], 5.0)
+        topt.step()
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(5.0),
+        optax.add_decayed_weights(wd),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-lr),
+    )
+    jp = jnp.asarray(p0)
+    opt_state = tx.init(jp)
+    for g in grads:
+        updates, opt_state = tx.update(jnp.asarray(g), opt_state, jp)
+        jp = optax.apply_updates(jp, updates)
+
+    np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)

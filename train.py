@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fiery_tpu.data.dataset import prepare_dataloaders
+from fiery_tpu.data.dataset import numeric_batch, prepare_dataloaders
 from fiery_tpu.parallel.mesh import create_mesh, make_parallel_train_step, shard_batch
 from fiery_tpu.training.metrics import IntersectionOverUnion, PanopticMetric
 from fiery_tpu.training.trainer import Trainer
@@ -31,6 +31,7 @@ class MetricLogger:
 
     def __init__(self, log_dir):
         os.makedirs(log_dir, exist_ok=True)
+        self.log_dir = log_dir
         self.jsonl = open(os.path.join(log_dir, 'metrics.jsonl'), 'a')
         try:
             from flax.metrics import tensorboard
@@ -46,8 +47,20 @@ class MetricLogger:
             self.tb.scalar(key, float(value), step)
 
     def video(self, key, frames, step):
-        """frames: (1, T, H, W, 3) uint8 GT-vs-pred panel (reference trainer.py:193-198,
-        logged as a TB video; written here as per-frame images)."""
+        """frames: (1, T, H, W, 3) uint8 GT-vs-pred panel (reference trainer.py:193-198
+        logs a TB video). Written as an animated GIF on disk plus per-frame TB images
+        (the flax TB writer has no video op)."""
+        import numpy as _np
+        frames = _np.asarray(frames)
+        try:
+            from PIL import Image
+            vid_dir = os.path.join(self.log_dir, 'videos')
+            os.makedirs(vid_dir, exist_ok=True)
+            imgs = [Image.fromarray(frames[0, t]) for t in range(frames.shape[1])]
+            imgs[0].save(os.path.join(vid_dir, f'{key}_step{step}.gif'),
+                         save_all=True, append_images=imgs[1:], duration=500, loop=0)
+        except Exception:
+            pass
         if self.tb is None:
             return
         for t in range(frames.shape[1]):
@@ -68,13 +81,12 @@ def main():
 
     n_devices = len(jax.devices())
     n_shards = min(n_devices, max(1, len(cfg.GPUS)))
+    # cfg.BATCHSIZE is per-chip (like the reference's per-GPU BATCHSIZE,
+    # configs/baseline.yml:5) and is what gets checkpointed; only the loaders see
+    # the global batch.
     global_batch = cfg.BATCHSIZE * n_shards
 
-    cfg.defrost()
-    cfg.BATCHSIZE = global_batch
-    cfg.freeze()
-
-    trainloader, valloader = prepare_dataloaders(cfg)
+    trainloader, valloader = prepare_dataloaders(cfg, batch_size=global_batch)
     trainer = Trainer(cfg)
 
     save_dir = os.path.join(
@@ -87,7 +99,7 @@ def main():
     mesh = create_mesh(n_shards)
     first_batch = None
     for batch_np in trainloader:
-        first_batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        first_batch = {k: jnp.asarray(v) for k, v in numeric_batch(batch_np).items()}
         break
     assert first_batch is not None, 'empty training dataset'
 
@@ -110,7 +122,8 @@ def main():
     for epoch in range(start_epoch, cfg.EPOCHS):
         epoch_start = time.time()
         for batch_np in trainloader:
-            batch = shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()}, mesh)
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in numeric_batch(batch_np).items()}, mesh)
             state, metrics = train_step(state, batch, rng)
             global_step += 1
             if global_step % cfg.LOGGING_INTERVAL == 0 or global_step == 1:
@@ -130,9 +143,14 @@ def main():
         panoptic_metric = PanopticMetric(trainer.model_cfg.n_classes)
         from fiery_tpu.postprocess.instance import (
             predict_instance_segmentation_and_trajectories)
-        for batch_np in valloader:
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        for val_i, batch_np in enumerate(valloader):
+            batch = {k: jnp.asarray(v) for k, v in numeric_batch(batch_np).items()}
             output, labels, loss_dict = eval_step(state, batch)
+            if val_i == 0:
+                # val-batch-0 GT-vs-pred video (reference trainer.py:206-216)
+                from fiery_tpu.utils.visualisation import visualise_output
+                logger.video('val_outputs', visualise_output(labels, output, cfg),
+                             global_step)
             # compress on device before pulling: the device->host link can be slow
             seg_pred = jnp.argmax(output['segmentation'], axis=-1).astype(jnp.uint8)
             iou_metric.update(np.asarray(seg_pred),

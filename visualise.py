@@ -65,7 +65,7 @@ def plot_prediction(image, output, cfg):
     # camera grid (first frame of the receptive field end = present)
     fig = plt.figure(figsize=(13, 7))
     n_cams = image.shape[2]
-    present = image.shape[1] - 1 if image.shape[1] < 3 else 2
+    present = min(cfg.TIME_RECEPTIVE_FIELD, image.shape[1]) - 1
     for i in range(min(6, n_cams)):
         ax = fig.add_subplot(3, 3, i + 1 if i < 3 else i + 4)
         img = np.asarray(image[0, present, i])

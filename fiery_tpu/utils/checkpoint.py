@@ -77,9 +77,52 @@ def load_checkpoint(path, trainer=None):
     return state, cfg
 
 
-def load_pretrained_params(path, state):
+def load_torch_pretrained(path, state, model_cfg):
+    """Warm start from a torch ``.pth``/``.ckpt`` file.
+
+    Two accepted formats:
+      * a STANDALONE ImageNet EfficientNet state dict (efficientnet_pytorch naming,
+        keys like ``_conv_stem.weight``) — loads only the encoder backbone, the TPU
+        equivalent of the reference's default ImageNet init (encoder.py:16);
+      * a full reference FIERY checkpoint (Lightning ``state_dict`` with
+        ``model.encoder.backbone...`` keys) — loads everything the importer maps.
+    """
+    import torch
+    from fiery_tpu.utils.weight_import import (import_efficientnet_state_dict,
+                                               import_torch_state_dict,
+                                               merge_subtree)
+    blob = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(blob, dict) and 'state_dict' in blob:
+        blob = blob['state_dict']
+    sd = {k: np.asarray(v) for k, v in blob.items()
+          if hasattr(v, 'shape') or np.isscalar(v)}
+
+    if any(k.startswith(('_conv_stem', '_blocks.')) for k in sd):
+        converted = import_efficientnet_state_dict(sd, model_cfg)
+        uncertainty = {}
+    else:
+        converted, uncertainty = import_torch_state_dict(sd, model_cfg, strict=False)
+
+    params = jax.device_get(state.params)
+    params['model'] = merge_subtree(params['model'], converted['params'])
+    for k, v in uncertainty.items():
+        if k in params.get('uncertainty', {}):
+            params['uncertainty'][k] = np.asarray(v)
+    batch_stats = merge_subtree(jax.device_get(state.batch_stats),
+                                converted['batch_stats'])
+    return state.replace(params=params, batch_stats=batch_stats)
+
+
+def load_pretrained_params(path, state, model_cfg=None):
     """Partial warm start (reference train.py:20-27, strict=False): copy matching
-    entries from a checkpoint's params into ``state``, keep the rest."""
+    entries from a checkpoint's params into ``state``, keep the rest.
+
+    ``path`` may be an orbax checkpoint dir or a torch ``.pth``/``.pt``/``.ckpt``
+    file (see load_torch_pretrained)."""
+    if path.endswith(('.pth', '.pt', '.ckpt')):
+        if model_cfg is None:
+            raise ValueError('model_cfg required to import a torch checkpoint')
+        return load_torch_pretrained(path, state, model_cfg)
     restored, _ = load_checkpoint(path)
 
     def merge(dst, src):

@@ -330,6 +330,56 @@ def import_torch_state_dict(state_dict: Dict[str, np.ndarray], model_cfg,
     return out, uncertainty
 
 
+def import_efficientnet_state_dict(state_dict: Dict[str, np.ndarray], model_cfg,
+                                   variables=None):
+    """Convert a STANDALONE ImageNet EfficientNet state dict (efficientnet_pytorch
+    naming without any prefix: ``_conv_stem.weight``, ``_blocks.N._depthwise_conv
+    .weight``, ...) into the encoder-backbone subtree of the full variables pytree.
+
+    This is the TPU equivalent of the reference's default ImageNet initialisation
+    (``EfficientNet.from_pretrained``, /root/reference/fiery/models/encoder.py:16).
+    Keys beyond the truncation point (``_conv_head``, ``_bn1``, ``_fc``, blocks past
+    the stride-8 cut) are ignored, mirroring ``delete_unused_layers``
+    (encoder.py:40-56). Returns ({'params': ..., 'batch_stats': ...}) containing
+    only backbone entries.
+    """
+    prefixed = {'model.encoder.backbone.' + k: v for k, v in state_dict.items()}
+    version = model_cfg.encoder_name.split('-')[1]
+    entries = [e for e in encoder_mapping(version, model_cfg.encoder_downsample)
+               if e[1].startswith('model.encoder.backbone.')]
+    out = {'params': {}, 'batch_stats': {}}
+    for flax_path, torch_name, transform, collection in entries:
+        if torch_name not in prefixed:
+            raise KeyError(
+                f'EfficientNet state dict missing {torch_name.split("backbone.")[1]}')
+        value = transform(np.asarray(prefixed[torch_name]))
+        if variables is not None:
+            expected = np.asarray(_get_in(variables[collection], flax_path))
+            if expected.shape != value.shape:
+                raise ValueError(
+                    f'{torch_name} -> {"/".join(flax_path)}: shape {value.shape} '
+                    f'!= expected {expected.shape}')
+        _set_in(out[collection], flax_path, value)
+    return out
+
+
+def merge_subtree(dst, src):
+    """Recursively overwrite leaves of ``dst`` present in ``src`` (shape-checked)."""
+    out = {}
+    for k, v in dst.items():
+        if k in src and isinstance(v, dict):
+            out[k] = merge_subtree(v, src[k])
+        elif k in src:
+            value = src[k]
+            if getattr(value, 'shape', None) != getattr(v, 'shape', None):
+                raise ValueError(f'{k}: shape {getattr(value, "shape", None)} != '
+                                 f'{getattr(v, "shape", None)}')
+            out[k] = np.asarray(value).astype(np.asarray(v).dtype)
+        else:
+            out[k] = v
+    return out
+
+
 def export_expected_torch_names(model_cfg):
     """The torch names this importer expects (for tests / coverage checks)."""
     return [torch_name for _, torch_name, _, _ in build_mapping(model_cfg)]

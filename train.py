@@ -111,8 +111,11 @@ def main():
         state, _ = load_checkpoint(args.resume)
         start_epoch = int(np.asarray(state.step)) // max(1, len(trainloader))
     elif cfg.PRETRAINED.LOAD_WEIGHTS and cfg.PRETRAINED.PATH:
+        # orbax dir, torch FIERY ckpt, or standalone ImageNet EfficientNet .pth
+        # (the reference's default init, encoder.py:16)
         print(f'Warm-starting from {cfg.PRETRAINED.PATH}')
-        state = load_pretrained_params(cfg.PRETRAINED.PATH, state)
+        state = load_pretrained_params(cfg.PRETRAINED.PATH, state,
+                                       model_cfg=trainer.model_cfg)
 
     train_step = make_parallel_train_step(trainer, mesh, donate_state=True)
     eval_step = jax.jit(trainer.eval_step)

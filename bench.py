@@ -73,9 +73,57 @@ def bench_train(batch, precision, n_iters=10):
     return n_iters * batch / (time.perf_counter() - start)
 
 
+def bench_train_e2e(batch, precision, n_iters=10, dataroot=None):
+    """Pipeline-inclusive training throughput: host dataloader (multiprocessing
+    workers for real datasets, prefetch thread for synthetic) + device step.
+
+    Measures the budget SURVEY §7 flags as the likely real-data bottleneck
+    (7 frames x 6 cams of JPEG decode + rasterisation per sample)."""
+    import jax
+    import jax.numpy as jnp
+    from fiery_tpu.utils.config import get_cfg
+    from fiery_tpu.training.trainer import Trainer
+    from fiery_tpu.data.dataset import numeric_batch, prepare_dataloaders
+
+    cfg_dict = {'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision,
+                'BATCHSIZE': batch,
+                'DATASET': {'N_SYNTHETIC_SAMPLES': max(64, batch * (n_iters + 2))}}
+    if dataroot:
+        cfg_dict['DATASET']['NAME'] = 'nuscenes'
+        cfg_dict['DATASET']['DATAROOT'] = dataroot
+    cfg = get_cfg(cfg_dict=cfg_dict)
+    trainer = Trainer(cfg)
+    trainloader, _ = prepare_dataloaders(cfg)
+
+    step = jax.jit(trainer.train_step, donate_argnums=(0,))
+    rng = jax.random.key(1)
+    it = iter(trainloader)
+    first = {k: jnp.asarray(v) for k, v in numeric_batch(next(it)).items()}
+    state = jax.jit(trainer.init_state)(jax.random.key(0), first)
+    state, _ = step(state, first, rng)   # compile + warm
+    jax.block_until_ready(state)
+
+    n_done = 0
+    start = time.perf_counter()
+    while n_done < n_iters:
+        try:
+            batch_np = next(it)
+        except StopIteration:
+            it = iter(trainloader)
+            continue
+        b = {k: jnp.asarray(v) for k, v in numeric_batch(batch_np).items()}
+        state, metrics = step(state, b, rng)
+        n_done += 1
+    jax.block_until_ready(state)
+    return n_done * batch / (time.perf_counter() - start)
+
+
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--mode', default='train', choices=['train', 'eval'])
+    parser.add_argument('--mode', default='train',
+                        choices=['train', 'eval', 'train-e2e'])
+    parser.add_argument('--dataroot', default=None, type=str,
+                        help='train-e2e only: nuScenes dataroot (default synthetic)')
     parser.add_argument('--batch', default=None, type=int)
     parser.add_argument('--precision', default=None, type=int, choices=[16, 32])
     parser.add_argument('--iters', default=10, type=int)
@@ -87,6 +135,12 @@ def main():
         value = bench_train(batch, precision, args.iters)
         ref = ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC
         metric = 'baseline_train_clips_per_sec_per_chip'
+    elif args.mode == 'train-e2e':
+        batch = args.batch or 3
+        precision = args.precision or 16
+        value = bench_train_e2e(batch, precision, args.iters, args.dataroot)
+        ref = ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC
+        metric = 'baseline_train_e2e_clips_per_sec_per_chip'
     else:
         batch = args.batch or 1
         precision = args.precision or 32

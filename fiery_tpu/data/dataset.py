@@ -116,13 +116,16 @@ def numeric_batch(batch):
             if np.asarray(v).dtype.kind in 'biufc'}
 
 
-def prepare_dataloaders(cfg, return_dataset=False, batch_size=None):
+def prepare_dataloaders(cfg, return_dataset=False, batch_size=None,
+                        process_index=0, process_count=1):
     """Build (train_loader, val_loader) for the configured dataset.
 
     Reference: data.py:429-462 (train: shuffle + drop_last; val: sequential).
-    batch_size overrides cfg.BATCHSIZE (e.g. the global batch in data-parallel
+    batch_size overrides cfg.BATCHSIZE (e.g. the PER-HOST batch in data-parallel
     training, where cfg.BATCHSIZE stays the per-chip size like the reference's
-    per-GPU BATCHSIZE, configs/baseline.yml:5).
+    per-GPU BATCHSIZE, configs/baseline.yml:5). Multi-host: pass
+    (process_index, process_count) so each host reads a disjoint shard of every
+    deterministically-shuffled epoch.
     """
     name = cfg.DATASET.NAME
     if name == 'synthetic':
@@ -138,9 +141,13 @@ def prepare_dataloaders(cfg, return_dataset=False, batch_size=None):
     num_workers = cfg.N_WORKERS if name in ('nuscenes', 'lyft') else 0
     bs = cfg.BATCHSIZE if batch_size is None else batch_size
     train_loader = DataLoader(train_ds, bs, shuffle=True, drop_last=True,
-                              num_workers=num_workers)
+                              num_workers=num_workers,
+                              process_index=process_index,
+                              process_count=process_count)
     val_loader = DataLoader(val_ds, bs, shuffle=False, drop_last=False,
-                            num_workers=num_workers)
+                            num_workers=num_workers,
+                            process_index=process_index,
+                            process_count=process_count)
     if return_dataset:
         return train_loader, val_loader, train_ds, val_ds
     return train_loader, val_loader

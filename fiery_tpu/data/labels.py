@@ -1,10 +1,14 @@
 """Instance-label generation: centerness / offset / future-flow maps from instance ids.
 
-Host-side numpy port of the reference generator
-(/root/reference/fiery/utils/instance.py:12-77): per instance per frame, compute the
-mass center, accumulate a Gaussian centerness heatmap (sigma=3, max-combined), write
-pixelwise offsets-to-center, and write the ego-compensated future displacement of the
-center at frame t into the t-1 slice over the instance's t-1 mask.
+Produces the supervision targets the reference derives from instance maps
+(/root/reference/fiery/utils/instance.py:12-77): a Gaussian centerness heatmap
+(sigma=3, max-combined over instances), per-pixel offsets to the (rounded) instance
+centroid, and a future-flow map that writes each persisting instance's
+ego-compensated centroid displacement at frame t into its frame t-1 footprint.
+
+Implementation is table-driven rather than per-instance loops: one bincount pass
+builds the (frame, instance) centroid tables, and every map is then a lookup
+through the instance image.
 """
 
 import numpy as np
@@ -12,6 +16,33 @@ import jax.numpy as jnp
 
 from fiery_tpu.ops.warp import warp_features
 from fiery_tpu.utils.geometry import invert_pose_matrix, mat2pose_vec, pose_vec2mat
+
+
+def _centroid_table(frames, n_ids):
+    """(S, h, w) int frames -> rounded centroid tables.
+
+    Returns (cx, cy, valid): each (S, n_ids + 1), where cx[t, i] is the rounded
+    mean row coordinate of id i in frame t and valid[t, i] marks ids with pixels.
+    Row 0 (background) is never valid.
+    """
+    S, h, w = frames.shape
+    rows = np.repeat(np.arange(h, dtype=np.float64), w)
+    cols = np.tile(np.arange(w, dtype=np.float64), h)
+    cx = np.zeros((S, n_ids + 1))
+    cy = np.zeros((S, n_ids + 1))
+    valid = np.zeros((S, n_ids + 1), dtype=bool)
+    for t in range(S):
+        flat = frames[t].ravel()
+        counts = np.bincount(flat, minlength=n_ids + 1)[:n_ids + 1]
+        present = counts > 0
+        present[0] = False
+        denom = np.maximum(counts, 1)
+        cx[t] = np.round(np.bincount(flat, weights=rows,
+                                     minlength=n_ids + 1)[:n_ids + 1] / denom)
+        cy[t] = np.round(np.bincount(flat, weights=cols,
+                                     minlength=n_ids + 1)[:n_ids + 1] / denom)
+        valid[t] = present
+    return cx, cy, valid
 
 
 def convert_instance_mask_to_center_and_offset_label(
@@ -25,53 +56,59 @@ def convert_instance_mask_to_center_and_offset_label(
     """
     instance_img = np.asarray(instance_img)
     seq_len, h, w = instance_img.shape
+    n = int(num_instances)
+    x = np.arange(h, dtype=np.float32)[:, None]
+    y = np.arange(w, dtype=np.float32)[None, :]
+
+    # ego-compensated view of frames 1..S-1, so centroid displacement measures
+    # object motion rather than ego motion
+    warped = np.zeros_like(instance_img)
+    if seq_len > 1:
+        if subtract_egomotion:
+            ego_inv = np.asarray(mat2pose_vec(invert_pose_matrix(
+                pose_vec2mat(jnp.asarray(future_egomotion)))))
+            poses = jnp.asarray(ego_inv[:seq_len - 1])
+        else:
+            poses = jnp.zeros((seq_len - 1, 6))
+        moved = warp_features(
+            jnp.asarray(instance_img[1:], dtype=jnp.float32)[..., None],
+            poses, mode='nearest', spatial_extent=spatial_extent)
+        warped[1:] = np.asarray(moved)[..., 0]
+
+    # table sized to the largest id present, but ids beyond num_instances are
+    # treated as absent (the reference only iterates ids 1..num_instances)
+    n_table = max(n, int(instance_img.max(initial=0)))
+    cx, cy, valid = _centroid_table(instance_img, n_table)
+    wx, wy, wvalid = _centroid_table(warped, n_table)
+    valid[:, n + 1:] = False
+
     center_label = np.zeros((seq_len, h, w, 1), dtype=np.float32)
     offset_label = np.full((seq_len, h, w, 2), ignore_index, dtype=np.float32)
-    future_displacement_label = np.full((seq_len, h, w, 2), ignore_index, dtype=np.float32)
+    flow_label = np.full((seq_len, h, w, 2), ignore_index, dtype=np.float32)
 
-    x, y = np.meshgrid(np.arange(h, dtype=np.float32),
-                       np.arange(w, dtype=np.float32), indexing='ij')
+    for t in range(seq_len):
+        ids = np.nonzero(valid[t])[0]
+        if len(ids) == 0:
+            continue
+        # centerness: max over per-instance Gaussians around the rounded centroids
+        dx = cx[t, ids, None, None].astype(np.float32) - x[None]
+        dy = cy[t, ids, None, None].astype(np.float32) - y[None]
+        center_label[t, :, :, 0] = np.exp(
+            -(dx ** 2 + dy ** 2) / sigma ** 2).max(axis=0)
 
-    if subtract_egomotion:
-        ego_inv = np.asarray(mat2pose_vec(invert_pose_matrix(
-            pose_vec2mat(jnp.asarray(future_egomotion)))))
+        # offset: every instance pixel points at its own centroid
+        frame = instance_img[t]
+        fg = valid[t][frame]
+        offset_label[t, :, :, 0] = np.where(fg, cx[t][frame] - x, ignore_index)
+        offset_label[t, :, :, 1] = np.where(fg, cy[t][frame] - y, ignore_index)
 
-    # warped instance segmentation for frames 1..seq_len-1
-    warped_instance_seg = {}
-    for t in range(1, seq_len):
-        warped = warp_features(
-            jnp.asarray(instance_img[t], dtype=jnp.float32)[None, :, :, None],
-            jnp.asarray(ego_inv[t - 1])[None] if subtract_egomotion
-            else jnp.zeros((1, 6)),
-            mode='nearest', spatial_extent=spatial_extent)
-        warped_instance_seg[t] = np.asarray(warped)[0, :, :, 0]
+        # flow at t-1: displacement of instances present in BOTH frames (and
+        # surviving the warp), written over their t-1 footprint
+        if t > 0:
+            persists = valid[t - 1] & valid[t] & wvalid[t]
+            prev = instance_img[t - 1]
+            mask = persists[prev]
+            flow_label[t - 1, :, :, 0][mask] = (wx[t] - cx[t - 1])[prev][mask]
+            flow_label[t - 1, :, :, 1][mask] = (wy[t] - cy[t - 1])[prev][mask]
 
-    for instance_id in range(1, num_instances + 1):
-        prev_xc = prev_yc = prev_mask = None
-        for t in range(seq_len):
-            instance_mask = instance_img[t] == instance_id
-            if instance_mask.sum() == 0:
-                prev_xc = prev_yc = prev_mask = None
-                continue
-
-            xc = np.round(x[instance_mask].mean())
-            yc = np.round(y[instance_mask].mean())
-
-            off_x = xc - x
-            off_y = yc - y
-            g = np.exp(-(off_x ** 2 + off_y ** 2) / sigma ** 2)
-            center_label[t, :, :, 0] = np.maximum(center_label[t, :, :, 0], g)
-            offset_label[t, :, :, 0][instance_mask] = off_x[instance_mask]
-            offset_label[t, :, :, 1][instance_mask] = off_y[instance_mask]
-
-            if prev_xc is not None:
-                warped_instance_mask = warped_instance_seg[t] == instance_id
-                if warped_instance_mask.sum() > 0:
-                    warped_xc = np.round(x[warped_instance_mask].mean())
-                    warped_yc = np.round(y[warped_instance_mask].mean())
-                    future_displacement_label[t - 1, :, :, 0][prev_mask] = warped_xc - prev_xc
-                    future_displacement_label[t - 1, :, :, 1][prev_mask] = warped_yc - prev_yc
-
-            prev_xc, prev_yc, prev_mask = xc, yc, instance_mask
-
-    return center_label, offset_label, future_displacement_label
+    return center_label, offset_label, flow_label

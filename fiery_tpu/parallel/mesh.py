@@ -33,9 +33,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = 'data'):
-    """Device-put a host batch with the leading axis sharded over the mesh."""
+    """Device-put a host batch with the leading axis sharded over the mesh.
+
+    Multi-host: each process passes its LOCAL shard (global_batch / process_count
+    samples); the shards assemble into one global array per leaf
+    (jax.make_array_from_process_local_data), so the jitted step sees the same
+    global batch it would single-host. Single-process: plain sharded device_put.
+    """
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def maybe_initialize_distributed():
+    """jax.distributed.initialize() when cluster env vars are present.
+
+    The reference's equivalent is Lightning spawning one DDP process per GPU
+    (train.py:33-45); on TPU pods each host process joins the global runtime here.
+    No-op for single-process runs (the common case in tests/benchmarks).
+    """
+    import os
+    if jax.process_count() > 1:
+        return  # already initialized
+    cluster_vars = ('COORDINATOR_ADDRESS', 'JAX_COORDINATOR_ADDRESS',
+                    'MEGASCALE_COORDINATOR_ADDRESS')
+    if any(v in os.environ for v in cluster_vars):
+        jax.distributed.initialize()
 
 
 def make_parallel_train_step(trainer, mesh: Mesh, axis_name: str = 'data',

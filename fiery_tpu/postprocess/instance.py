@@ -114,66 +114,69 @@ def decode_instance_predictions(output: Dict[str, jnp.ndarray],
 # Host-side temporal consistency (Hungarian matching; reference instance.py:173-269)
 # ---------------------------------------------------------------------------
 
+def _segment_centroids(labels, coord_maps, ids):
+    """Mean coordinate of each id in ``ids`` under per-pixel coordinate fields.
+
+    labels (h, w) int; coord_maps: sequence of (h, w) float fields (e.g. a pixel
+    grid, possibly flow-advected). Returns (len(ids), len(coord_maps)). Uses one
+    bincount per coordinate — no per-id mask loops.
+    """
+    flat = labels.ravel()
+    size = int(ids.max()) + 1
+    counts = np.bincount(flat, minlength=size)[ids].astype(np.float64)
+    sums = [np.bincount(flat, weights=c.ravel().astype(np.float64),
+                        minlength=size)[ids] for c in coord_maps]
+    return np.stack(sums, axis=-1) / counts[:, None]
+
+
 def make_instance_id_temporally_consistent(pred_inst, future_flow,
                                            matching_threshold=3.0):
     """pred_inst: (1, s, h, w) int numpy; future_flow: (1, s, h, w, 2) numpy.
 
-    Returns (1, s, h, w) with ids consistent across time via flow-warped center
-    matching (Hungarian assignment, distance threshold, new ids for unmatched).
+    Returns (1, s, h, w) with ids consistent across time: each frame's centroids
+    are matched against the previous frame's flow-advected centroids (Hungarian
+    optimum, accepted under the distance threshold), and unmatched detections get
+    fresh ids. Protocol-equivalent to reference instance.py:173-269 (pinned by
+    tests/test_postprocess.py); assumes per-frame ids are consecutive 1..N, which
+    decode_instance_predictions guarantees.
     """
     pred_inst = np.asarray(pred_inst)
     future_flow = np.asarray(future_flow)
     assert pred_inst.shape[0] == 1, 'Assumes batch size = 1'
-    _, seq_len, h, w = pred_inst.shape
+    seq = pred_inst[0]
+    seq_len, h, w = seq.shape
+    pixel_grid = np.stack(np.meshgrid(np.arange(h, dtype=np.float32),
+                                      np.arange(w, dtype=np.float32),
+                                      indexing='ij'))
 
-    consistent = [pred_inst[0, 0]]
-    largest_instance_id = int(consistent[0].max())
+    tracked = [seq[0]]
+    next_fresh_id = int(seq[0].max()) + 1
 
-    grid = np.stack(np.meshgrid(np.arange(h, dtype=np.float32),
-                                np.arange(w, dtype=np.float32), indexing='ij'))
-
-    for t in range(seq_len - 1):
-        # predicted future means: current centers advected by flow
-        warped_grid = grid + np.moveaxis(future_flow[0, t], -1, 0)
-        t_instance_ids = np.unique(consistent[-1])[1:]
-        if len(t_instance_ids) == 0:
-            consistent.append(pred_inst[0, t + 1])
+    for t in range(1, seq_len):
+        prev_frame, cur_frame = tracked[-1], seq[t]
+        prev_ids = np.unique(prev_frame)[1:]
+        cur_ids = np.unique(cur_frame)[1:]
+        if len(prev_ids) == 0 or len(cur_ids) == 0:
+            tracked.append(cur_frame)
             continue
 
-        warped_centers = np.stack([
-            warped_grid[:, consistent[-1] == iid].mean(axis=1) for iid in t_instance_ids])
+        # where the previous instances should be now, according to the flow
+        advected = pixel_grid + np.moveaxis(future_flow[0, t - 1], -1, 0)
+        prev_pos = _segment_centroids(prev_frame, advected, prev_ids)
+        cur_pos = _segment_centroids(cur_frame, pixel_grid, cur_ids)
 
-        n_instances = int(pred_inst[0, t + 1].max())
-        if n_instances == 0:
-            consistent.append(pred_inst[0, t + 1])
-            continue
-        centers = np.stack([
-            grid[:, pred_inst[0, t + 1] == iid].mean(axis=1)
-            for iid in range(1, n_instances + 1)])
+        cost = np.linalg.norm(prev_pos[:, None] - cur_pos[None, :], axis=-1)
+        rows, cols = scipy.optimize.linear_sum_assignment(cost)
+        accepted = cost[rows, cols] < matching_threshold
 
-        distances = np.linalg.norm(centers[None] - warped_centers[:, None], axis=-1)
-        ids_t, ids_t_one = scipy.optimize.linear_sum_assignment(distances)
-        matching_distances = distances[ids_t, ids_t_one]
-        ids_t = ids_t + 1
-        ids_t_one = ids_t_one + 1
-        # map matrix rows back to real ids
-        id_mapping = dict(zip(np.arange(1, len(t_instance_ids) + 1), t_instance_ids))
-        ids_t = np.array([id_mapping[i] for i in ids_t], dtype=np.int64)
+        relabel = np.zeros(int(cur_ids.max()) + 1, dtype=seq.dtype)
+        relabel[cur_ids[cols[accepted]]] = prev_ids[rows[accepted]]
+        unmatched = np.setdiff1d(cur_ids, cur_ids[cols[accepted]])
+        relabel[unmatched] = next_fresh_id + np.arange(len(unmatched))
+        next_fresh_id += len(unmatched)
+        tracked.append(relabel[cur_frame])
 
-        keep = matching_distances < matching_threshold
-        ids_t, ids_t_one = ids_t[keep], ids_t_one[keep]
-
-        remaining = set(np.unique(pred_inst[0, t + 1])) - set(ids_t_one) - {0}
-        for rem in sorted(remaining):
-            largest_instance_id += 1
-            ids_t = np.append(ids_t, largest_instance_id)
-            ids_t_one = np.append(ids_t_one, rem)
-
-        lut = np.arange(max(int(ids_t_one.max(initial=0)), n_instances) + 1)
-        lut[ids_t_one] = ids_t
-        consistent.append(lut[pred_inst[0, t + 1]])
-
-    return np.stack(consistent)[None]
+    return np.stack(tracked)[None]
 
 
 @functools.lru_cache(maxsize=None)

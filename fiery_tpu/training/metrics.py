@@ -126,83 +126,83 @@ class PanopticMetric:
 
     def _panoptic_metrics(self, pred_segmentation, pred_instance, gt_segmentation,
                           gt_instance, unique_id_mapping):
-        n_classes = self.n_classes
-        result = {key: np.zeros(n_classes) for key in
+        """Single-frame PQ statistics, fully vectorised.
+
+        Segment-id space: every pixel gets one combined id — 0 for void, 1..K for
+        the K stuff/class segments, K+i for thing instance i. All pair statistics
+        come from one joint bincount; matching, FN and FP are mask reductions
+        (no per-segment Python loops). Semantics match reference metrics.py:137-222
+        (pinned by tests/test_postprocess.py), including the quirk that a thing
+        segment matched to a *stuff* segment of the same class still counts as
+        unmatched in the FN/FP sweeps.
+        """
+        K = self.n_classes
+        n_seg = K + int(max(pred_instance.max(), gt_instance.max()))
+
+        gt_px, gt_cls = self._segment_labels(gt_segmentation, gt_instance, K, n_seg)
+        pr_px, pr_cls = self._segment_labels(pred_segmentation, pred_instance, K,
+                                             n_seg)
+
+        # pairwise overlap areas over the full id space, then drop the void slot
+        pair = np.bincount(gt_px * (n_seg + 1) + pr_px,
+                           minlength=(n_seg + 1) ** 2)
+        overlap = pair.reshape(n_seg + 1, n_seg + 1)[1:, 1:].astype(np.float64)
+        area_union = overlap.sum(1, keepdims=True) + overlap.sum(0) - overlap
+        iou = np.divide(overlap + 1e-9, area_union + 1e-9,
+                        out=np.zeros_like(overlap), where=area_union > 0)
+
+        # a pair is a match when IoU > 0.5 and the classes agree; IoU > 0.5 makes
+        # matches unique per row and per column, so order never matters
+        matched = (iou > 0.5) & (gt_cls[:, None] == pr_cls[None, :])
+        gt_idx, pr_idx = np.nonzero(matched)
+
+        result = {key: np.zeros(K) for key in
                   ['iou', 'true_positive', 'false_positive', 'false_negative']}
+        match_cls = pr_cls[pr_idx]
 
-        n_instances = int(max(pred_instance.max(), gt_instance.max()))
-        n_all_things = n_instances + n_classes
-        n_things_and_void = n_all_things + 1
+        # temporal consistency: a tracked GT id that switches predicted id is a
+        # FN+FP instead of a TP (vehicles class only)
+        prev = np.array([unique_id_mapping.get(g, -1) for g in gt_idx], dtype=np.int64)
+        switched = (self.temporally_consistent & (match_cls == self.vehicles_id)
+                    & (prev >= 0) & (prev != pr_idx))
+        ok = ~switched
+        np.add.at(result['true_positive'], match_cls[ok], 1)
+        np.add.at(result['iou'], match_cls[ok], iou[gt_idx[ok], pr_idx[ok]])
+        np.add.at(result['false_negative'], gt_cls[gt_idx[switched]], 1)
+        np.add.at(result['false_positive'], match_cls[switched], 1)
+        for g, p in zip(gt_idx, pr_idx):
+            unique_id_mapping[g] = p
 
-        prediction, pred_to_cls = self._combine_mask(
-            pred_segmentation, pred_instance, n_classes, n_all_things)
-        target, target_to_cls = self._combine_mask(
-            gt_segmentation, gt_instance, n_classes, n_all_things)
-
-        # confusion via joint bincount (reference metrics.py:167-172)
-        x = prediction + n_things_and_void * target
-        bincount_2d = np.bincount(x, minlength=n_things_and_void ** 2)
-        conf = bincount_2d.reshape(n_things_and_void, n_things_and_void)
-        conf = conf[1:, 1:]  # drop void
-
-        union = conf.sum(0)[None] + conf.sum(1)[:, None] - conf
-        iou = np.where(union > 0, (conf + 1e-9) / (union + 1e-9), 0.0)
-
-        mapping = np.argwhere(iou > 0.5)  # (k, 2): [target_id, pred_id]
-        is_matching = pred_to_cls[mapping[:, 1]] == target_to_cls[mapping[:, 0]]
-        mapping = mapping[is_matching]
-        tp_mask = np.zeros_like(conf, dtype=bool)
-        tp_mask[mapping[:, 0], mapping[:, 1]] = True
-
-        for target_id, pred_id in mapping:
-            cls_id = pred_to_cls[pred_id]
-            if (self.temporally_consistent and cls_id == self.vehicles_id
-                    and target_id in unique_id_mapping
-                    and unique_id_mapping[target_id] != pred_id):
-                # temporally inconsistent match: penalise (metrics.py:195-201)
-                result['false_negative'][target_to_cls[target_id]] += 1
-                result['false_positive'][pred_to_cls[pred_id]] += 1
-                unique_id_mapping[target_id] = pred_id
-                continue
-            result['true_positive'][cls_id] += 1
-            result['iou'][cls_id] += iou[target_id, pred_id]
-            unique_id_mapping[target_id] = pred_id
-
-        for target_id in range(n_classes, n_all_things):
-            if tp_mask[target_id, n_classes:].any():
-                continue
-            if target_to_cls[target_id] != -1:
-                result['false_negative'][target_to_cls[target_id]] += 1
-
-        for pred_id in range(n_classes, n_all_things):
-            if tp_mask[n_classes:, pred_id].any():
-                continue
-            if pred_to_cls[pred_id] != -1 and (conf[:, pred_id] > 0).any():
-                result['false_positive'][pred_to_cls[pred_id]] += 1
-
+        # unmatched things: FN for GT segments, FP for predicted segments that
+        # overlap anything (only thing-vs-thing matches count as "matched" here)
+        thing = np.zeros(n_seg, dtype=bool)
+        thing[K:] = True
+        gt_unmatched = thing & (gt_cls >= 0) & ~matched[:, K:].any(1)
+        np.add.at(result['false_negative'], gt_cls[gt_unmatched], 1)
+        pr_unmatched = (thing & (pr_cls >= 0) & ~matched[K:, :].any(0)
+                        & (overlap > 0).any(0))
+        np.add.at(result['false_positive'], pr_cls[pr_unmatched], 1)
         return result
 
-    def _combine_mask(self, segmentation, instance, n_classes, n_all_things):
-        """Shift thing ids past the class ids, combine stuff+things into one mask.
+    @staticmethod
+    def _segment_labels(segmentation, instance, n_classes, n_seg):
+        """Per-pixel combined segment ids plus the segment->class lookup.
 
-        Reference: metrics.py:225-255.
+        Ids: 0 void (class >= n_classes), 1..K stuff classes, K+i thing instance i.
+        The lookup covers ids 1..n_seg (index 0 = id 1); thing entries take the
+        class of their last pixel in scan order, absent segments get -1.
         """
-        instance = instance.reshape(-1).astype(np.int64)
-        instance_mask = instance > 0
-        instance = instance - 1 + n_classes
+        seg = segmentation.reshape(-1).astype(np.int64)
+        inst = instance.reshape(-1).astype(np.int64)
+        valid = seg < n_classes
+        px = np.where(inst > 0, inst + n_classes, seg + 1)
+        px = np.where(valid, px, 0)
 
-        segmentation = segmentation.reshape(-1).astype(np.int64).copy()
-        segmentation_mask = segmentation < n_classes  # remove void pixels
-
-        keep = instance_mask & segmentation_mask
-        instance_id_to_class = -np.ones(n_all_things, dtype=np.int64)
-        instance_id_to_class[instance[keep]] = segmentation[keep]
-        instance_id_to_class[np.arange(n_classes)] = np.arange(n_classes)
-
-        segmentation[instance_mask] = instance[instance_mask]
-        segmentation += 1
-        segmentation[~segmentation_mask] = 0
-        return segmentation, instance_id_to_class
+        cls_of = np.full(n_seg, -1, dtype=np.int64)
+        cls_of[:n_classes] = np.arange(n_classes)
+        sel = (inst > 0) & valid
+        cls_of[inst[sel] + n_classes - 1] = seg[sel]
+        return px, cls_of
 
 
 def iou_update_jnp(prediction, target, n_classes):

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from fiery_tpu.data.dataset import numeric_batch, prepare_dataloaders
-from fiery_tpu.parallel.mesh import create_mesh, make_parallel_train_step, shard_batch
+from fiery_tpu.parallel.mesh import (create_mesh, make_parallel_train_step,
+                                     maybe_initialize_distributed, shard_batch)
 from fiery_tpu.training.metrics import IntersectionOverUnion, PanopticMetric
 from fiery_tpu.training.trainer import Trainer
 from fiery_tpu.utils.checkpoint import (load_pretrained_params, save_checkpoint,
@@ -76,17 +77,25 @@ def main():
     args = parser.parse_args()
     cfg = get_cfg(args)
 
+    maybe_initialize_distributed()
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
 
     n_devices = len(jax.devices())
-    n_shards = min(n_devices, max(1, len(cfg.GPUS)))
+    process_count = jax.process_count()
+    if process_count > 1:
+        n_shards = n_devices  # pod runs span every device
+    else:
+        n_shards = min(n_devices, max(1, len(cfg.GPUS)))
     # cfg.BATCHSIZE is per-chip (like the reference's per-GPU BATCHSIZE,
-    # configs/baseline.yml:5) and is what gets checkpointed; only the loaders see
-    # the global batch.
+    # configs/baseline.yml:5) and is what gets checkpointed; the loaders see the
+    # per-host batch, and shard_batch assembles the global array across hosts.
     global_batch = cfg.BATCHSIZE * n_shards
+    per_host_batch = global_batch // process_count
 
-    trainloader, valloader = prepare_dataloaders(cfg, batch_size=global_batch)
+    trainloader, valloader = prepare_dataloaders(
+        cfg, batch_size=per_host_batch,
+        process_index=jax.process_index(), process_count=process_count)
     trainer = Trainer(cfg)
 
     save_dir = os.path.join(
@@ -172,6 +181,13 @@ def main():
         if 'flow_weight' in uw:
             logger.scalar('flow_weight', 1.0 / (2 * np.exp(uw['flow_weight'])),
                           global_step)
+        if process_count > 1:
+            # distributed metric reduction (reference metrics.py:26-29
+            # dist_reduce_fx='sum'): sum the per-host states before compute
+            from jax.experimental import multihost_utils
+            for metric in (iou_metric, panoptic_metric):
+                metric.load_state(np.asarray(multihost_utils.process_allgather(
+                    metric.state())).sum(axis=0))
         iou_scores = iou_metric.compute()
         panoptic_scores = panoptic_metric.compute()
         for name, score in zip(['background', 'dynamic'], iou_scores):

@@ -1,7 +1,9 @@
 """Image encoder: EfficientNet FPN + categorical-depth lifting head.
 
 Reference: /root/reference/fiery/models/encoder.py:7-104. Input NHWC (B, H, W, 3);
-output the lifted camera volume (B, D, h, w, C) where h, w = H, W / downsample.
+output the lifted camera volume (B, h, w, D, C) where h, w = H, W / downsample —
+kept in the head's natural memory order (lift_splat aligns bin ids to it instead of
+materialising the reference's (C, D, h, w) permute).
 """
 
 from typing import Any, Optional
@@ -38,6 +40,6 @@ class Encoder(nn.Module):
                     name='depth_layer', dtype=self.dtype)(x)
 
         if self.use_depth_distribution:
-            return depth_feature_outer_product(x, D, C)   # (B, D, h, w, C)
+            return depth_feature_outer_product(x, D, C)   # (B, h, w, D, C)
         # no depth distribution: replicate features along D (encoder.py:102)
-        return jnp.broadcast_to(x[:, None], (x.shape[0], D, *x.shape[1:]))
+        return jnp.broadcast_to(x[..., None, :], (*x.shape[:-1], D, x.shape[-1]))

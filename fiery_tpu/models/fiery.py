@@ -154,7 +154,7 @@ class BEVLift(nn.Module):
     """Encoder + depth-outer-product + voxel splat for one packed frame batch.
 
     The encoder is wrapped with nn.remat (cfg.remat_lift): its EfficientNet
-    activations and the (BN*n, D, h, w, C) lifted volume are recomputed during
+    activations and the (BN*n, h, w, D, C) lifted volume are recomputed during
     backward (the encoder replay costs ~2 ms at baseline shapes), while the splat
     stays OUTSIDE the remat boundary so its expensive scatter is not replayed.
     """
@@ -165,7 +165,13 @@ class BEVLift(nn.Module):
         # images: (b*s, n, H, W, 3); geometry: (b*s, n, D, h, w, 3)
         c = self.cfg
         bs, n = images.shape[:2]
-        encoder_cls = nn.remat(Encoder, static_argnums=(2,)) if c.remat_lift else Encoder
+        # save_only_these_names('bn_stats'): the per-channel BN statistics (tagged in
+        # layers._BNCore) survive the remat boundary, so the backward replay skips
+        # every full-activation BN reduction — everything else is recomputed as usual.
+        encoder_cls = (nn.remat(
+            Encoder, static_argnums=(2,),
+            policy=jax.checkpoint_policies.save_only_these_names('bn_stats'))
+            if c.remat_lift else Encoder)
         encoder = encoder_cls(
             out_channels=c.encoder_out_channels,
             depth_channels=c.depth_channels,
@@ -177,7 +183,7 @@ class BEVLift(nn.Module):
             name='encoder',
         )
         feats = encoder(images.reshape(bs * n, *images.shape[2:]), train)
-        feats = feats.reshape(bs, n, *feats.shape[1:])       # (b*s, n, D, h, w, C)
+        feats = feats.reshape(bs, n, *feats.shape[1:])       # (b*s, n, h, w, D, C)
         res, start, dim = c.bev_parameters
         return lift_splat(feats, geometry.astype(feats.dtype), res, start, dim)
 

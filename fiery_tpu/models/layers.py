@@ -18,6 +18,8 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.image
 import jax.numpy as jnp
+from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 conv_init = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')  # kaiming normal
 
@@ -31,11 +33,59 @@ def conv2d(features, kernel_size=3, stride=1, bias=False, name=None, dtype=None)
     )
 
 
+class _BNCore(nn.Module):
+    """Hand-rolled BatchNorm core (flax-compatible params/stats and numerics).
+
+    Exists so the batch statistics can be tagged with
+    ``checkpoint_name('bn_stats')``: under ``jax.checkpoint`` with the
+    ``save_only_these_names('bn_stats')`` policy the per-channel mean/var (a few
+    hundred floats) are saved across the remat boundary, and the backward replay
+    skips every BN reduction pass over the full activation — the single largest
+    fusion-time bucket in the train-step TPU trace.
+    """
+    momentum: float = 0.9      # flax convention: running <- m*running + (1-m)*batch
+    epsilon: float = 1e-5
+    scale_init: nn.initializers.Initializer = nn.initializers.ones
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        C = x.shape[-1]
+        scale = self.param('scale', self.scale_init, (C,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((C,), jnp.float32))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # stats in f32 over all non-channel axes; with a sharded batch under
+            # jit these reductions are global (GSPMD collectives) = sync-BN
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(jnp.square(xf), axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            mean = checkpoint_name(mean, 'bn_stats')
+            var = checkpoint_name(var, 'bn_stats')
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+
+        dtype = self.dtype or jnp.float32
+        mul = (scale * lax.rsqrt(var + self.epsilon)).astype(dtype)
+        return (x.astype(dtype) - mean.astype(dtype)) * mul + bias.astype(dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch momentum convention (running <- (1-m)*running + m*batch).
 
-    Under a bf16 compute dtype, flax computes the batch statistics in float32
-    internally, so mixed precision does not degrade the running stats.
+    Batch statistics are computed in float32 regardless of the compute dtype, so
+    mixed precision does not degrade the running stats. The inner module keeps the
+    flax ``BatchNorm_0`` name so parameter/stat paths (and therefore checkpoints and
+    the torch weight importer) are unchanged.
     """
     momentum: float = 0.1
     epsilon: float = 1e-5
@@ -44,13 +94,13 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
-            use_running_average=not train,
+        return _BNCore(
             momentum=1.0 - self.momentum,
             epsilon=self.epsilon,
             scale_init=self.scale_init,
             dtype=self.dtype,
-        )(x)
+            name='BatchNorm_0',
+        )(x, use_running_average=not train)
 
 
 def resize_bilinear(x, out_hw):

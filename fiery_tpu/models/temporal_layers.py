@@ -5,10 +5,13 @@ with a TPU-critical twist: there are NO 3D convolutions. On TPU, NDHWC conv3d wi
 tiny time extent (T = 3..10) forces the time dimension into the (8, 128) tile and pads
 activations 2-4x (measured 700 MB per conv at baseline shapes). Instead:
 
-  * a causal (kt, 3, 3) conv over time is computed exactly as ONE 2D conv on the
-    channel-concatenation of the kt causally-shifted frames, with kernel
-    (3, 3, kt*C, O) — identical maths, MXU-friendly layout, fatter input channels;
+  * a causal (kt, 3, 3) conv over time keeps the conv3d kernel parameter
+    (3, 3, kt*C, O) but is computed as kt per-tap 2D convs whose outputs are
+    time-shifted and summed — identical maths (conv and frame-shift commute), no
+    materialised kt*C channel stack (which cost layout copies and 2x activation
+    bytes at 200x200 BEV resolution);
   * 1x1x1 convs are 1x1 2D convs over time packed into the batch;
+  * the causal max pool maxes time-shifted spatial max-pools (same commutation);
   * the causal average pool (kernel 2, count_include_pad=False) is the explicit
     two-frame average with the first frame passed through.
 
@@ -26,17 +29,52 @@ from fiery_tpu.models.layers import BatchNorm, ConvBlock, conv2d, conv_init, res
 from fiery_tpu.utils.geometry import pack_sequence_dim, unpack_sequence_dim
 
 
-def _causal_stack(x, kt):
-    """(B, T, H, W, C) -> (B, T, H, W, kt*C): channels of frames [t-kt+1, ..., t],
-    zero-padded before t=0, ordered oldest-first (matching conv3d kernel time order)."""
-    if kt == 1:
+def _shift_right(x, offset):
+    """Shift (B, T, ...) right along time by ``offset`` frames, zero-filling the front."""
+    if offset == 0:
         return x
-    shifted = []
-    for offset in range(kt - 1, 0, -1):
-        pad = jnp.zeros_like(x[:, :offset])
-        shifted.append(jnp.concatenate([pad, x[:, :-offset]], axis=1))
-    shifted.append(x)
-    return jnp.concatenate(shifted, axis=-1)
+    return jnp.concatenate([jnp.zeros_like(x[:, :offset]), x[:, :-offset]], axis=1)
+
+
+class _CausalTapConv(nn.Module):
+    """Holds a conv3d-shaped kernel (kh, kw, kt*C, O) — the exact parameter a torch
+    Conv3d maps onto, so checkpoints and the weight importer are layout-stable — but
+    evaluates it as kt per-tap 2D convs with time-shifted, summed outputs:
+
+        out[t] = sum_i conv2d(x[t - (kt-1-i)], K[..., i*C:(i+1)*C, :])
+
+    (taps ordered oldest-first like the channel stack of a causal conv3d; frames
+    before t=0 are zero, matching the reference's causal zero padding,
+    temporal.py:65-85). conv2d(frame-shift(x)) == frame-shift(conv2d(x)), so no
+    kt*C-channel activation is ever materialised.
+    """
+    out_channels: int
+    in_channels: int
+    kt: int
+    kernel_hw: Tuple[int, int]
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T, H, W, C)
+        kh, kw = self.kernel_hw
+        kt, C = self.kt, self.in_channels
+        kernel = self.param('kernel', conv_init, (kh, kw, kt * C, self.out_channels),
+                            jnp.float32)
+        kernel = kernel.astype(x.dtype)
+        b, t = x.shape[:2]
+        h = pack_sequence_dim(x)
+        dn = jax.lax.conv_dimension_numbers(h.shape, kernel[..., :C, :].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        pads = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
+        out = None
+        for i in range(kt):
+            y = jax.lax.conv_general_dilated(
+                h, kernel[..., i * C:(i + 1) * C, :], (1, 1), pads,
+                dimension_numbers=dn)
+            y = _shift_right(unpack_sequence_dim(y, b, t), kt - 1 - i)
+            out = y if out is None else out + y
+        return out
 
 
 class Conv1x1x1NormActivated(nn.Module):
@@ -74,31 +112,33 @@ class CausalConv3d(nn.Module):
         kt, kh, kw = self.kernel_size
         assert self.dilation == (1, 1, 1), 'dilation unused by the reference'
         b, t = x.shape[:2]
-        h = _causal_stack(x, kt)
+        h = _CausalTapConv(out_channels=self.out_channels, in_channels=x.shape[-1],
+                           kt=kt, kernel_hw=(kh, kw), dtype=self.dtype,
+                           name='Conv_0')(x)
         h = pack_sequence_dim(h)
-        p_h, p_w = (kh - 1) // 2, (kw - 1) // 2
-        h = nn.Conv(self.out_channels, (kh, kw), padding=((p_h, p_h), (p_w, p_w)),
-                    use_bias=False, kernel_init=conv_init, dtype=self.dtype,
-                    name='Conv_0')(h)
         h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
                               name='BatchNorm_0')(h, train))
         return unpack_sequence_dim(h, b, t)
 
 
 def causal_max_pool3d(x, kernel_size=(2, 3, 3)):
-    """Max pool, stride 1, causal time padding. Reference: temporal.py:88-104."""
+    """Max pool, stride 1, causal time padding. Reference: temporal.py:88-104.
+
+    Spatial max-pool commutes with frame shifting, so the (kt, kh, kw) pool is the
+    running max of time-shifted 2D max-pools; frames before t=0 are zero like the
+    reference's ConstantPad3d (temporal.py:74), hence the max with a zero frame at
+    the sequence start.
+    """
     kt, kh, kw = kernel_size
     b, t = x.shape[:2]
-    h = _causal_stack(x, kt)                       # (B, T, H, W, kt*C)
-    h = pack_sequence_dim(h)
+    h = pack_sequence_dim(x)
     pads = (((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2)
     h = nn.max_pool(h, (kh, kw), strides=(1, 1), padding=pads)
     h = unpack_sequence_dim(h, b, t)
-    # max over the kt stacked copies; frame 0 sees zero padding like the reference's
-    # ConstantPad3d (temporal.py:74)
-    C = x.shape[-1]
-    h = h.reshape(*h.shape[:-1], kt, C)
-    return jnp.max(h, axis=-2)
+    out = h
+    for offset in range(1, kt):
+        out = jnp.maximum(out, _shift_right(h, offset))
+    return out
 
 
 class Bottleneck3D(nn.Module):

@@ -120,12 +120,18 @@ _sorted_splat.defvjp(_sorted_splat_fwd, _sorted_splat_bwd)
 
 
 def lift_splat(features, geometry, bev_resolution, bev_start_position, bev_dimension):
-    """Full splat: (B, N, D, h, w, C) point features + (B, N, D, h, w, 3) geometry -> (B, X, Y, C)."""
-    B = features.shape[0]
+    """Full splat: (B, N, h, w, D, C) point features + (B, N, D, h, w, 3) geometry -> (B, X, Y, C).
+
+    features keep the encoder's natural (h, w, D, C) memory order: segment_sum does not
+    care about point order, so instead of transposing the ~half-GB lifted feature volume
+    to the reference's (D, h, w) convention (a materialised planar transpose on TPU), the
+    tiny int32 id tensor from geometry is reordered to match the feature layout.
+    """
     C = features.shape[-1]
     dim = np.asarray(bev_dimension)
     X, Y, Z = int(dim[0]), int(dim[1]), int(dim[2])
     ids = voxel_ids(geometry, bev_resolution, bev_start_position, bev_dimension)
+    ids = jnp.moveaxis(ids, 2, 4)  # (B, N, D, h, w) -> (B, N, h, w, D)
 
     def per_sample(feat_b, ids_b):
         dense = _sorted_splat(feat_b.reshape(-1, C), ids_b.reshape(-1), X * Y * Z)
@@ -137,10 +143,11 @@ def lift_splat(features, geometry, bev_resolution, bev_start_position, bev_dimen
 def depth_feature_outer_product(x, D, C):
     """Split encoder head output into depth logits and features; return lifted volume.
 
-    x: (B, h, w, D + C) head output. Returns (B, D, h, w, C) = softmax_D(depth) outer feat.
-    Reference: models/encoder.py:98-100.
+    x: (B, h, w, D + C) head output. Returns (B, h, w, D, C) = softmax_D(depth) outer feat
+    in the head's natural memory order (channels-last, D next-to-last); lift_splat
+    reorders bin ids — never this volume — to align points. Reference semantics:
+    models/encoder.py:98-100 (which materialises the (B, C, D, h, w) permute instead).
     """
     depth = jax.nn.softmax(x[..., :D], axis=-1)          # (B, h, w, D)
     feat = x[..., D:D + C]                               # (B, h, w, C)
-    out = depth[..., None] * feat[..., None, :]          # (B, h, w, D, C)
-    return jnp.moveaxis(out, -2, 1)                      # (B, D, h, w, C)
+    return depth[..., None] * feat[..., None, :]         # (B, h, w, D, C)

@@ -121,19 +121,23 @@ def cumulative_warp_features(x, flow, mode='nearest', spatial_extent=None):
     x[:, -1] unchanged; x[:, t] warped by flow[t] @ ... @ flow[-2].
     Reference: geometry.py:225-253.
     """
-    seq_len = x.shape[1]
+    b, seq_len = x.shape[:2]
     if seq_len == 1:
         return x
     flow_mat = pose_vec2mat(flow)
 
-    out = [x[:, -1]]
-    cum_flow = flow_mat[:, -2]
-    for t in reversed(range(seq_len - 1)):
-        out.append(warp_features(x[:, t], mat2pose_vec(cum_flow), mode=mode,
-                                 spatial_extent=spatial_extent))
-        if t > 0:
-            cum_flow = flow_mat[:, t - 1] @ cum_flow
-    return jnp.stack(out[::-1], axis=1)
+    # compose the (tiny) cumulative pose matrices, then warp every past frame in a
+    # single batched gather instead of one dispatch per frame
+    mats = [flow_mat[:, -2]]
+    for t in reversed(range(seq_len - 2)):
+        mats.append(flow_mat[:, t] @ mats[-1])
+    poses = mat2pose_vec(jnp.stack(mats[::-1], axis=1))        # (b, seq_len-1, 6)
+    warped = warp_features(
+        x[:, :-1].reshape(b * (seq_len - 1), *x.shape[2:]),
+        poses.reshape(b * (seq_len - 1), 6),
+        mode=mode, spatial_extent=spatial_extent,
+    ).reshape(b, seq_len - 1, *x.shape[2:])
+    return jnp.concatenate([warped, x[:, -1:]], axis=1)
 
 
 def cumulative_warp_features_reverse(x, flow, mode='nearest', spatial_extent=None):
@@ -142,12 +146,21 @@ def cumulative_warp_features_reverse(x, flow, mode='nearest', spatial_extent=Non
     x: (b, t, H, W, C); flow: (b, t, 6). x[:, 0] unchanged; x[:, i] warped by
     inv(flow[0]) @ ... @ inv(flow[i-1]). Reference: geometry.py:256-280.
     """
+    b, seq_len = x.shape[:2]
+    if seq_len == 1:
+        return x
     flow_mat = pose_vec2mat(flow)
-    out = [x[:, 0]]
-    cum_flow = None
-    for i in range(1, x.shape[1]):
-        inv_i = invert_pose_matrix(flow_mat[:, i - 1])
-        cum_flow = inv_i if cum_flow is None else cum_flow @ inv_i
-        out.append(warp_features(x[:, i], mat2pose_vec(cum_flow), mode=mode,
-                                 spatial_extent=spatial_extent))
-    return jnp.stack(out, axis=1)
+
+    # frame i is warped by inv(flow[0]) @ ... @ inv(flow[i-1]); compose the matrices
+    # first, then warp all future frames in one batched gather
+    inv = invert_pose_matrix(flow_mat)
+    mats = [inv[:, 0]]
+    for i in range(2, seq_len):
+        mats.append(mats[-1] @ inv[:, i - 1])
+    poses = mat2pose_vec(jnp.stack(mats, axis=1))              # (b, seq_len-1, 6)
+    warped = warp_features(
+        x[:, 1:].reshape(b * (seq_len - 1), *x.shape[2:]),
+        poses.reshape(b * (seq_len - 1), 6),
+        mode=mode, spatial_extent=spatial_extent,
+    ).reshape(b, seq_len - 1, *x.shape[2:])
+    return jnp.concatenate([x[:, :1], warped], axis=1)

@@ -68,8 +68,8 @@ def test_encoder_golden_parity():
     variables = _import_subtree(sd, _model_cfg(), 'bev_lift', 'encoder')
     enc = Encoder(out_channels=C, depth_channels=D, version='b0', downsample=8)
     out = enc.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
-    out = np.asarray(out)                               # (B, D, h, w, C)
-    np.testing.assert_allclose(out.transpose(0, 4, 1, 2, 3), ref,
+    out = np.asarray(out)                               # (B, h, w, D, C)
+    np.testing.assert_allclose(out.transpose(0, 4, 3, 1, 2), ref,
                                rtol=1e-4, atol=1e-4)
 
 

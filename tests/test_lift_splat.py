@@ -69,7 +69,7 @@ def test_voxel_pooling_matches_oracle():
     rng = np.random.RandomState(0)
     res, start, dim = calculate_birds_eye_view_parameters(X_BOUND, Y_BOUND, Z_BOUND)
     B, N, D, h, w, C = 2, 3, 4, 5, 6, 7
-    features = rng.randn(B, N, D, h, w, C).astype(np.float32)
+    features = rng.randn(B, N, h, w, D, C).astype(np.float32)
     # geometry mostly inside bounds, some outside
     geometry = rng.uniform(-60, 60, (B, N, D, h, w, 3)).astype(np.float32)
     geometry[..., 2] = rng.uniform(-9, 9, (B, N, D, h, w))
@@ -78,7 +78,9 @@ def test_voxel_pooling_matches_oracle():
                                    res, start, dim))
     assert out.shape == (B, 200, 200, C)
     for b in range(B):
-        expected = oracle_splat(features[b], geometry[b], res, start, dim)
+        # align the oracle's point order with the feature layout (h, w, D)
+        geo_b = np.moveaxis(geometry[b], 1, 3)  # (N, D, h, w, 3) -> (N, h, w, D, 3)
+        expected = oracle_splat(features[b], geo_b, res, start, dim)
         np.testing.assert_allclose(out[b], expected, atol=1e-3)
 
 
@@ -89,8 +91,8 @@ def test_voxel_pooling_gradient_is_gather():
     geometry = jnp.asarray(np.array(
         [[[0.1, 0.1, 0.0], [0.2, 0.2, 0.0], [10.0, 10.0, 0.0], [500.0, 0.0, 0.0]]],
         dtype=np.float32))[None]  # (1, 1, 4, 3) -> reshape below
-    geometry = geometry.reshape(1, 1, 1, 1, 4, 3)
-    features = jnp.ones((1, 1, 1, 1, 4, 1), dtype=jnp.float32)
+    geometry = geometry.reshape(1, 1, 4, 1, 1, 3)   # (B, N, D, h, w, 3)
+    features = jnp.ones((1, 1, 1, 1, 4, 1), dtype=jnp.float32)  # (B, N, h, w, D, C)
 
     def f(feat):
         out = LS.lift_splat(feat, geometry, res, start, dim)
@@ -105,10 +107,10 @@ def test_depth_feature_outer_product():
     D, C = 4, 3
     x = rng.randn(2, 5, 6, D + C).astype(np.float32)
     out = np.asarray(LS.depth_feature_outer_product(jnp.asarray(x), D, C))
-    assert out.shape == (2, D, 5, 6, C)
+    assert out.shape == (2, 5, 6, D, C)
     depth = np.exp(x[..., :D]) / np.exp(x[..., :D]).sum(-1, keepdims=True)
     feat = x[..., D:]
-    expected = np.einsum('bhwd,bhwc->bdhwc', depth, feat)
+    expected = np.einsum('bhwd,bhwc->bhwdc', depth, feat)
     np.testing.assert_allclose(out, expected, atol=1e-5)
     # depth distribution sums to 1 over D
-    np.testing.assert_allclose(out.sum(1), depth.sum(-1)[..., None] * feat, atol=1e-5)
+    np.testing.assert_allclose(out.sum(3), depth.sum(-1)[..., None] * feat, atol=1e-5)

@@ -63,7 +63,7 @@ def test_encoder_output_shape():
     enc = Encoder(out_channels=24, depth_channels=6, version='b0')
     x = jnp.ones((2, 64, 96, 3))
     out, _ = init_and_apply(enc, x)
-    assert out.shape == (2, 6, 8, 12, 24)
+    assert out.shape == (2, 8, 12, 6, 24)
     # depth distribution: summing over D recovers the feature map scaled by sum(softmax)=1
     assert bool(jnp.all(jnp.isfinite(out)))
 
@@ -280,32 +280,23 @@ def test_causal_avg_pool_matches_torch():
 
 
 def test_causal_conv_matches_3d_oracle():
-    """The channel-stacked 2D causal conv must equal a direct (left-padded) 3D conv."""
+    """The per-tap shifted-sum causal conv must equal a direct (left-padded) 3D conv."""
     import torch
-    from fiery_tpu.models.temporal_layers import CausalConv3d
+    from fiery_tpu.models.temporal_layers import _CausalTapConv
     rng = np.random.RandomState(1)
     b, t, h, w, c, o = 1, 3, 6, 6, 4, 5
     x = rng.randn(b, t, h, w, c).astype(np.float32)
-    m = CausalConv3d(out_channels=o, kernel_size=(2, 3, 3))
+    m = _CausalTapConv(out_channels=o, in_channels=c, kt=2, kernel_hw=(3, 3))
     variables = m.init({'params': jax.random.key(0)}, jnp.asarray(x))
-    # bypass BN/relu: compare pre-activation by setting BN to identity
-    v = variables['params']
-    kernel = np.asarray(v['Conv_0']['kernel'])        # (3, 3, 2*c, o)
+    ours = np.asarray(m.apply(variables, jnp.asarray(x)))
+
+    kernel = np.asarray(variables['params']['kernel'])   # (3, 3, 2*c, o)
     # reconstruct the equivalent torch conv3d weight (o, c, 2, 3, 3)
     k = kernel.reshape(3, 3, 2, c, o)
     wt = np.transpose(k, (4, 3, 2, 0, 1))
     xt = torch.as_tensor(x).permute(0, 4, 1, 2, 3)
     xt = torch.nn.functional.pad(xt, (1, 1, 1, 1, 1, 0))  # w, h, causal t
     ref = torch.nn.functional.conv3d(xt, torch.as_tensor(wt)).permute(0, 2, 3, 4, 1).numpy()
-
-    # our pre-BN output: run the conv part manually
-    from fiery_tpu.models.temporal_layers import _causal_stack
-    from fiery_tpu.utils.geometry import pack_sequence_dim, unpack_sequence_dim
-    stacked = pack_sequence_dim(_causal_stack(jnp.asarray(x), 2))
-    ours = jax.lax.conv_general_dilated(
-        np.asarray(stacked), kernel, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    ours = np.asarray(unpack_sequence_dim(ours, b, t))
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 

@@ -175,8 +175,14 @@ class FuturePredictionDataset:
     # -- per-frame pieces -------------------------------------------------
     def get_input_data(self, rec):
         """Returns images (N, H, W, 3), intrinsics (N, 3, 3), extrinsics (N, 4, 4):
-        camera -> yaw-only ("flat") lidar ego frame. Reference: data.py:150-239."""
-        images, intrinsics, extrinsics = [], [], []
+        camera -> yaw-only ("flat") lidar ego frame. Reference: data.py:150-239.
+
+        JPEG decode/resize/normalise goes through the native C++ pipeline
+        (fiery_tpu/native, one multithreaded batch call for all cameras) when it is
+        built, and falls back to the PIL path otherwise — both produce the same
+        pixels (tests/test_native_image.py pins decode exactness and 1-LSB resize
+        parity)."""
+        intrinsics, extrinsics, filenames = [], [], []
 
         lidar_sample = self.nusc.get('sample_data', rec['data']['LIDAR_TOP'])
         lidar_pose = self.nusc.get('ego_pose', lidar_sample['ego_pose_token'])
@@ -199,11 +205,7 @@ class FuturePredictionDataset:
             lidar_to_sensor = car_egopose_to_sensor @ world_to_car_egopose @ lidar_to_world
             sensor_to_lidar = np.linalg.inv(lidar_to_sensor).astype(np.float32)
 
-            img = Image.open(os.path.join(self.dataroot, camera_sample['filename']))
-            img = resize_and_crop_image(
-                img, self.augmentation_parameters['resize_dims'],
-                self.augmentation_parameters['crop'])
-            images.append(normalise_image(img))
+            filenames.append(os.path.join(self.dataroot, camera_sample['filename']))
 
             crop = self.augmentation_parameters['crop']
             intrinsics.append(update_intrinsics_np(
@@ -212,7 +214,37 @@ class FuturePredictionDataset:
                 self.augmentation_parameters['scale_height']).astype(np.float32))
             extrinsics.append(sensor_to_lidar)
 
-        return (np.stack(images), np.stack(intrinsics), np.stack(extrinsics))
+        images = self._load_images(filenames)
+        return (images, np.stack(intrinsics), np.stack(extrinsics))
+
+    def _load_images(self, filenames):
+        resize_dims = self.augmentation_parameters['resize_dims']
+        crop = self.augmentation_parameters['crop']
+        if self._use_native_images():
+            from fiery_tpu.native import decode_resize_crop_normalize
+            blobs = []
+            for path in filenames:
+                with open(path, 'rb') as f:
+                    blobs.append(f.read())
+            try:
+                return decode_resize_crop_normalize(
+                    blobs, resize_dims, crop, IMAGENET_MEAN, IMAGENET_STD)
+            except RuntimeError:
+                pass  # e.g. a non-JPEG file slipped in; fall back to PIL below
+        images = []
+        for path in filenames:
+            img = resize_and_crop_image(Image.open(path), resize_dims, crop)
+            images.append(normalise_image(img))
+        return np.stack(images)
+
+    def _use_native_images(self):
+        if getattr(self, '_native_images', None) is None:
+            try:
+                from fiery_tpu.native import image_pipe_available
+                self._native_images = image_pipe_available()
+            except Exception:
+                self._native_images = False
+        return self._native_images
 
     def _get_top_lidar_pose(self, rec):
         egopose = self.nusc.get(

@@ -102,6 +102,60 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5 * lr)
 
 
+def test_dp_gradients_match_single_device():
+    """Raw gradients (before Adam) of the DP-sharded loss == unsharded gradients.
+
+    Pins the gradient all-reduce far tighter than the post-optimizer params above
+    (Adam's sign-like first step amplifies fp noise; the grads themselves only see
+    reduction-order noise)."""
+    cfg = tiny_cfg()
+    cfg.defrost()
+    cfg.PRECISION = 32  # isolate collective semantics from bf16 compute noise
+    cfg.freeze()
+    dataset = SyntheticFutureDataset(cfg, n_samples=8, n_instances=1, seed=0)
+    trainer = Trainer(cfg)
+    batch = {k: jnp.asarray(v) for k, v in dataset.get_batch(list(range(8))).items()}
+    state = jax.jit(trainer.init_state)(jax.random.key(0), batch)
+
+    def grads_fn(state, batch, rng):
+        labels, fdi = trainer.prepare_future_labels(batch)
+        rngs = {'sample': rng, 'dropout': jax.random.fold_in(rng, 1)}
+
+        def loss_fn(params):
+            variables = {'params': params['model'], 'batch_stats': state.batch_stats}
+            output, _ = trainer.model.apply(
+                variables, batch['image'], batch['intrinsics'], batch['extrinsics'],
+                batch['future_egomotion'], fdi, train=True,
+                rngs=rngs, mutable=['batch_stats'])
+            from fiery_tpu.training.losses import compute_losses
+            return sum(compute_losses(output, labels, params['uncertainty'],
+                                      trainer.cfg).values())
+
+        return jax.grad(loss_fn)(state.params)
+
+    rng = jax.random.key(1)
+    g_single = jax.jit(grads_fn)(state, batch, rng)
+
+    mesh = create_mesh()
+    repl = NamedSharding(mesh, P())
+    g_dp = jax.jit(grads_fn, in_shardings=(repl, None, repl),
+                   out_shardings=repl)(state, shard_batch(batch, mesh), rng)
+
+    # Normalise diffs by the GLOBAL max gradient magnitude: per-leaf or per-element
+    # relative metrics blow up on near-zero elements (post-BN bias grads and means
+    # are cancellation residue ~1e-8 of the global scale; measured noise there
+    # reaches 2x of the tiny leaf max). A structural DP bug — missing psum, wrong
+    # shard — shifts whole leaves by O(1) of the global scale; measured noise floor
+    # for this model is <1e-4.
+    gmax = max(float(np.max(np.abs(np.asarray(leaf))))
+               for leaf in jax.tree.leaves(g_single))
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(g_single)[0],
+                            jax.tree.leaves(g_dp)):
+        a, b = np.asarray(a), np.asarray(b)
+        worst = float(np.max(np.abs(a - b))) / gmax
+        assert worst < 1e-3, f'{jax.tree_util.keystr(path)}: {worst}'
+
+
 def test_metric_state_psum_equals_unsharded():
     """Sharded metric accumulation + psum == unsharded accumulation (the reference
     relies on Lightning dist_reduce_fx='sum', metrics.py:26-29)."""

@@ -1,4 +1,4 @@
-"""Device mesh + data-parallel sharding helpers.
+"""Device mesh + sharding helpers (data parallel, optional camera/model axis).
 
 The reference's distributed story is DDP + sync-BN + fp16 via Lightning
 (/root/reference/train.py:33-45). TPU-native equivalent: a 1-D ``data`` mesh;
@@ -7,6 +7,15 @@ replicated. GSPMD then emits the gradient all-reduce (psum) and computes BatchNo
 statistics over the global batch (sync-BN) — no hand-written collectives.
 Scale-out to multi-slice happens by letting the data axis span DCN; in-slice
 collectives ride ICI automatically.
+
+Beyond the reference: an optional second ``model`` mesh axis shards the CAMERA
+dimension of the per-frame inputs (images / intrinsics / extrinsics). The encoder
+— by far the largest activation footprint (54 camera-frames of 224x480 EfficientNet
+at baseline) — then runs on 1/n_model of the cameras per device, and GSPMD inserts
+the gather where the voxel splat combines all cameras of a sample into one BEV
+grid. FIERY has no weight axis worth sharding (~20M params), so camera parallelism
+is the natural second axis for this architecture: it cuts per-chip activation
+memory without touching any model code.
 """
 
 from typing import Optional
@@ -15,17 +24,42 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# batch keys carrying a per-camera axis at dim 2: (b, s, n_cam, ...)
+_CAMERA_KEYS = ('image', 'intrinsics', 'extrinsics')
 
-def create_mesh(n_devices: Optional[int] = None, axis_name: str = 'data') -> Mesh:
+
+def create_mesh(n_devices: Optional[int] = None, axis_name: str = 'data',
+                n_model: int = 1, model_axis_name: str = 'model') -> Mesh:
+    """1-D data mesh, or a (data, model) 2-D mesh when n_model > 1.
+
+    The model axis is the minor (fast) axis so it maps to adjacent devices —
+    camera gathers ride the shortest ICI hops; gradient psums span the data axis.
+    """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
-    return Mesh(np.asarray(devices[:n_devices]), (axis_name,))
+    if n_model <= 1:
+        return Mesh(np.asarray(devices[:n_devices]), (axis_name,))
+    if n_devices % n_model:
+        raise ValueError(f'n_devices {n_devices} not divisible by n_model {n_model}')
+    grid = np.asarray(devices[:n_devices]).reshape(n_devices // n_model, n_model)
+    return Mesh(grid, (axis_name, model_axis_name))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = 'data') -> NamedSharding:
     """Shard the leading (batch) axis of every leaf."""
     return NamedSharding(mesh, P(axis_name))
+
+
+def batch_shardings(batch, mesh: Mesh, axis_name: str = 'data',
+                    model_axis_name: str = 'model'):
+    """Per-leaf shardings: batch axis on ``data``; on a 2-D mesh, the camera axis
+    (dim 2 of image/intrinsics/extrinsics) additionally on ``model``."""
+    data = NamedSharding(mesh, P(axis_name))
+    if model_axis_name not in mesh.axis_names:
+        return {k: data for k in batch}
+    cam = NamedSharding(mesh, P(axis_name, None, model_axis_name))
+    return {k: cam if k in _CAMERA_KEYS else data for k in batch}
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -40,12 +74,12 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = 'data'):
     (jax.make_array_from_process_local_data), so the jitted step sees the same
     global batch it would single-host. Single-process: plain sharded device_put.
     """
-    sharding = batch_sharding(mesh, axis_name)
+    shardings = batch_shardings(batch, mesh, axis_name)
     if jax.process_count() > 1:
-        return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(
-                sharding, np.asarray(x)), batch)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return {k: jax.make_array_from_process_local_data(shardings[k],
+                                                          np.asarray(v))
+                for k, v in batch.items()}
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
 
 
 def maybe_initialize_distributed():
@@ -75,10 +109,11 @@ def make_parallel_train_step(trainer, mesh: Mesh, axis_name: str = 'data',
     rebinds ``state = step(state, ...)`` and never reuses the old state.
     """
     repl = replicated(mesh)
-    data = batch_sharding(mesh, axis_name)
+    # batch shardings are taken from the arrays themselves (shard_batch puts the
+    # batch axis on 'data' and, on a 2-D mesh, the camera axis on 'model')
     return jax.jit(
         trainer.train_step,
-        in_shardings=(repl, data, repl),
+        in_shardings=(repl, None, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else (),
     )
@@ -89,6 +124,6 @@ def make_parallel_eval_step(trainer, mesh: Mesh, axis_name: str = 'data'):
     data = batch_sharding(mesh, axis_name)
     return jax.jit(
         trainer.eval_step,
-        in_shardings=(repl, data),
+        in_shardings=(repl, None),
         out_shardings=(data, data, repl),
     )

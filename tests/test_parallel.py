@@ -102,6 +102,39 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5 * lr)
 
 
+def test_camera_model_axis_matches_single_device():
+    """(data=4, model=2) mesh with the CAMERA axis sharded over 'model' == the
+    unsharded step (camera parallelism splits encoder work; GSPMD gathers at the
+    splat). This is the beyond-reference second mesh axis — FIERY has no weight
+    dimension worth sharding, cameras are the natural one."""
+    cfg = tiny_cfg()
+    cfg.defrost()
+    cfg.IMAGE.NAMES = ['CAM_A', 'CAM_B']  # one camera per model-axis device
+    cfg.freeze()
+    dataset = SyntheticFutureDataset(cfg, n_samples=8, n_instances=1, seed=0)
+    trainer = Trainer(cfg)
+    batch = {k: jnp.asarray(v) for k, v in dataset.get_batch(list(range(8))).items()}
+
+    state = jax.jit(trainer.init_state)(jax.random.key(0), batch)
+    single_state, single_metrics = jax.jit(trainer.train_step)(
+        state, batch, jax.random.key(1))
+
+    mesh = create_mesh(n_model=2)
+    assert mesh.devices.shape == (4, 2)
+    pstep = make_parallel_train_step(trainer, mesh)
+    sharded = shard_batch(batch, mesh)
+    # the camera axis really is sharded over 'model'
+    assert 'model' in str(sharded['image'].sharding.spec)
+    mp_state, mp_metrics = pstep(state, sharded, jax.random.key(1))
+
+    np.testing.assert_allclose(float(mp_metrics['total_loss']),
+                               float(single_metrics['total_loss']), rtol=5e-3)
+    lr = cfg.OPTIMIZER.LR
+    for a, b in zip(jax.tree.leaves(single_state.params),
+                    jax.tree.leaves(mp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5 * lr)
+
+
 def test_dp_gradients_match_single_device():
     """Raw gradients (before Adam) of the DP-sharded loss == unsharded gradients.
 

@@ -74,6 +74,10 @@ def main():
                         help='checkpoint directory to resume training from')
     parser.add_argument('--profile-dir', default='', type=str,
                         help='start a jax.profiler trace into this directory')
+    parser.add_argument('--camera-parallel', default=1, type=int,
+                        help='shard the camera axis over this many devices per '
+                             'data shard (2-D (data, model) mesh); cuts per-chip '
+                             'encoder activation memory n-fold')
     args = parser.parse_args()
     cfg = get_cfg(args)
 
@@ -83,14 +87,19 @@ def main():
 
     n_devices = len(jax.devices())
     process_count = jax.process_count()
+    n_model = max(1, args.camera_parallel)
     if process_count > 1:
         n_shards = n_devices  # pod runs span every device
     else:
-        n_shards = min(n_devices, max(1, len(cfg.GPUS)))
+        n_shards = min(n_devices, max(1, len(cfg.GPUS)) * n_model)
+    if n_shards % n_model:
+        raise SystemExit(f'--camera-parallel {n_model} must divide the '
+                         f'{n_shards} devices used')
     # cfg.BATCHSIZE is per-chip (like the reference's per-GPU BATCHSIZE,
     # configs/baseline.yml:5) and is what gets checkpointed; the loaders see the
     # per-host batch, and shard_batch assembles the global array across hosts.
-    global_batch = cfg.BATCHSIZE * n_shards
+    # Under camera parallelism a "data shard" spans n_model devices.
+    global_batch = cfg.BATCHSIZE * (n_shards // n_model)
     per_host_batch = global_batch // process_count
 
     trainloader, valloader = prepare_dataloaders(
@@ -105,7 +114,7 @@ def main():
     print(f'Logging to {save_dir}; devices={n_devices}, shards={n_shards}, '
           f'global batch={global_batch}')
 
-    mesh = create_mesh(n_shards)
+    mesh = create_mesh(n_shards, n_model=n_model)
     first_batch = None
     for batch_np in trainloader:
         first_batch = {k: jnp.asarray(v) for k, v in numeric_batch(batch_np).items()}

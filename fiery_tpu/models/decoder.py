@@ -7,7 +7,7 @@ Output heads are channels-last: segmentation (n_classes), instance_center (1, si
 instance_offset (2), instance_flow (2, optional).
 """
 
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,17 +38,35 @@ class BasicBlock(nn.Module):
         return nn.relu(h + identity)
 
 
-class _Head(nn.Module):
-    out_channels: int
+class FusedHeads(nn.Module):
+    """The four output heads (reference decoder.py:25-51) fused into one trunk.
+
+    Each reference head is conv3x3(C -> C) + BN + ReLU + conv1x1(C -> out). The four
+    3x3 convs read the SAME input, so they are one conv3x3(C -> 4C) + one BN(4C)
+    (exact: BN is per-channel; channel concatenation is identity math), followed by
+    per-head 1x1 convs on their channel slices. variance_scaling(2.0 * n_heads) on
+    the fused (3, 3, C, n_heads*C) kernel reproduces the per-head kaiming
+    fan_out = 9*C variance.
+    """
+    head_channels: Sequence[int]     # output channels per head
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = conv2d(x.shape[-1], 3, 1, dtype=self.dtype)(x)
+        n = len(self.head_channels)
+        C = x.shape[-1]
+        init = nn.initializers.variance_scaling(2.0 * n, 'fan_out', 'normal')
+        h = nn.Conv(n * C, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                    use_bias=False, kernel_init=init, dtype=self.dtype,
+                    name='conv_fused')(x)
         h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
-        return nn.Conv(self.out_channels, (1, 1), use_bias=True, kernel_init=conv_init,
-                       dtype=self.dtype)(h)
+        outs = []
+        for i, out_channels in enumerate(self.head_channels):
+            outs.append(nn.Conv(out_channels, (1, 1), use_bias=True,
+                                kernel_init=conv_init, dtype=self.dtype,
+                                name=f'out_{i}')(h[..., i * C:(i + 1) * C]))
+        return outs
 
 
 class Decoder(nn.Module):
@@ -85,11 +103,13 @@ class Decoder(nn.Module):
         h = UpsamplingAdd(shared_out_channels, bn_momentum=self.bn_momentum,
                           dtype=self.dtype)(h, skip1, train)
 
-        segmentation = _Head(self.n_classes, self.bn_momentum, self.dtype)(h, train)
-        instance_center = nn.sigmoid(_Head(1, self.bn_momentum, self.dtype)(h, train))
-        instance_offset = _Head(2, self.bn_momentum, self.dtype)(h, train)
-        instance_flow = (_Head(2, self.bn_momentum, self.dtype)(h, train)
-                         if self.predict_future_flow else None)
+        head_channels = [self.n_classes, 1, 2] + ([2] if self.predict_future_flow else [])
+        heads = FusedHeads(head_channels, self.bn_momentum, self.dtype,
+                           name='heads')(h, train)
+        segmentation = heads[0]
+        instance_center = nn.sigmoid(heads[1])
+        instance_offset = heads[2]
+        instance_flow = heads[3] if self.predict_future_flow else None
 
         out = {
             'segmentation': unpack_sequence_dim(segmentation, b, s),

@@ -82,12 +82,14 @@ class Conv1x1x1NormActivated(nn.Module):
     out_channels: int
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
+    kernel_init: Any = conv_init
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, t = x.shape[:2]
         h = pack_sequence_dim(x)
-        h = nn.Conv(self.out_channels, (1, 1), use_bias=False, kernel_init=conv_init,
+        h = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    kernel_init=self.kernel_init,
                     dtype=self.dtype, name='Conv_0')(h)
         h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
                               name='BatchNorm_0')(h, train))
@@ -228,13 +230,22 @@ class TemporalBlock(nn.Module):
         out_channels = self.out_channels or in_channels
         half = in_channels // 2
 
+        # The reference's three parallel paths (temporal.py:224-244) each start with a
+        # 1x1x1 conv+BN+ReLU over the SAME input x, so the three prologs are fused into
+        # one (3*half)-channel conv+BN (exact: BN is per-channel, concatenation along
+        # channels is identity math). variance_scaling(6.0) on the (1, 1, C, 3*half)
+        # kernel reproduces the per-branch kaiming fan_out = half variance.
+        prolog = Conv1x1x1NormActivated(
+            3 * half, self.bn_momentum, self.dtype,
+            kernel_init=nn.initializers.variance_scaling(6.0, 'fan_out', 'normal'),
+            name='prolog_fused')(x, train)
         paths = []
-        for kernel in [(2, 3, 3), (1, 3, 3)]:
-            h = Conv1x1x1NormActivated(half, self.bn_momentum, self.dtype)(x, train)
+        for pi, kernel in enumerate([(2, 3, 3), (1, 3, 3)]):
+            h = prolog[..., pi * half:(pi + 1) * half]
             h = CausalConv3d(half, kernel, bn_momentum=self.bn_momentum,
                              dtype=self.dtype)(h, train)
             paths.append(h)
-        paths.append(Conv1x1x1NormActivated(half, self.bn_momentum, self.dtype)(x, train))
+        paths.append(prolog[..., 2 * half:3 * half])
         h = jnp.concatenate(paths, axis=-1)
 
         if self.use_pyramid_pooling:
@@ -274,10 +285,16 @@ class SpatialGRU(nn.Module):
     @nn.compact
     def __call__(self, x, state=None, train: bool = False):
         b, t, h, w, _ = x.shape
-        conv_update = conv2d(self.hidden_size, 3, 1, bias=True, name='conv_update',
+        # The reference's conv_update and conv_reset (temporal.py:20-25) read the SAME
+        # (x_t ++ state) input with identical 3x3 geometry, so they are fused into one
+        # conv producing 2*hidden channels (exact: channel-concatenated kernels).
+        # variance_scaling(4.0, fan_out) on the (3, 3, C, 2H) kernel reproduces the
+        # per-gate kaiming fan_out = 9*H variance of the unfused convs.
+        gate_init = nn.initializers.variance_scaling(4.0, 'fan_out', 'normal')
+        conv_gates = nn.Conv(2 * self.hidden_size, (3, 3), strides=(1, 1),
+                             padding=((1, 1), (1, 1)), use_bias=True,
+                             kernel_init=gate_init, name='conv_gates',
                              dtype=self.dtype)
-        conv_reset = conv2d(self.hidden_size, 3, 1, bias=True, name='conv_reset',
-                            dtype=self.dtype)
         conv_state_tilde = ConvBlock(self.hidden_size, kernel_size=3, bias=False,
                                      norm=self.norm, activation=self.activation,
                                      bn_momentum=self.bn_momentum, dtype=self.dtype,
@@ -289,8 +306,9 @@ class SpatialGRU(nn.Module):
         for i in range(t):
             x_t = x[:, i]
             x_and_state = jnp.concatenate([x_t, rnn_state], axis=-1)
-            update_gate = jax.nn.sigmoid(conv_update(x_and_state) + self.gru_bias_init)
-            reset_gate = jax.nn.sigmoid(conv_reset(x_and_state) + self.gru_bias_init)
+            gates = jax.nn.sigmoid(conv_gates(x_and_state) + self.gru_bias_init)
+            update_gate = gates[..., :self.hidden_size]
+            reset_gate = gates[..., self.hidden_size:]
             state_tilde = conv_state_tilde(
                 jnp.concatenate([x_t, (1.0 - reset_gate) * rnn_state], axis=-1), train)
             rnn_state = (1.0 - update_gate) * rnn_state + update_gate * state_tilde

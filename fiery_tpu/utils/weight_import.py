@@ -48,9 +48,24 @@ def _id(t):
     return np.asarray(t)
 
 
+def _concat_conv2d(ts):
+    """Several torch OIHW kernels -> one HWIO kernel, output channels concatenated
+    (for branches fused into a single conv; see SpatialGRU gates / FusedHeads)."""
+    return np.concatenate([_conv2d(t) for t in ts], axis=-1)
+
+
+def _concat_conv3d_1x1(ts):
+    return np.concatenate([_conv3d_1x1(t) for t in ts], axis=-1)
+
+
+def _concat_id(ts):
+    return np.concatenate([np.asarray(t) for t in ts], axis=0)
+
+
 # entries: (flax_path, torch_name, transform, collection) where collection is
-# 'params' or 'batch_stats'
-Entry = Tuple[Tuple[str, ...], str, object, str]
+# 'params' or 'batch_stats'. torch_name may be a TUPLE of names for fused
+# parameters; the transform then receives the tuple of tensors.
+Entry = Tuple[Tuple[str, ...], object, object, str]
 
 
 def _bn(flax_prefix, torch_prefix) -> List[Entry]:
@@ -61,6 +76,21 @@ def _bn(flax_prefix, torch_prefix) -> List[Entry]:
         (inner + ('bias',), torch_prefix + '.bias', _id, 'params'),
         (inner + ('mean',), torch_prefix + '.running_mean', _id, 'batch_stats'),
         (inner + ('var',), torch_prefix + '.running_var', _id, 'batch_stats'),
+    ]
+
+
+def _bn_fused(flax_prefix, torch_prefixes) -> List[Entry]:
+    """One fused BatchNorm fed by several reference BNs (channel-concatenated)."""
+    inner = flax_prefix + ('BatchNorm_0',)
+    return [
+        (inner + ('scale',), tuple(t + '.weight' for t in torch_prefixes),
+         _concat_id, 'params'),
+        (inner + ('bias',), tuple(t + '.bias' for t in torch_prefixes),
+         _concat_id, 'params'),
+        (inner + ('mean',), tuple(t + '.running_mean' for t in torch_prefixes),
+         _concat_id, 'batch_stats'),
+        (inner + ('var',), tuple(t + '.running_var' for t in torch_prefixes),
+         _concat_id, 'batch_stats'),
     ]
 
 
@@ -166,21 +196,28 @@ def temporal_mapping(receptive_field=3, use_pyramid_pooling=True,
     for i in range(receptive_field - 1):
         fb = ('temporal_model', f'TemporalBlock_{i}')
         t = f'model.temporal_model.model.{i}'
-        # paths: [1x1x1 -> causal(2,3,3)], [1x1x1 -> causal(1,3,3)], [1x1x1]
-        # flax naming: Conv1x1x1NormActivated_0, CausalConv3d_0,
-        #              Conv1x1x1NormActivated_1, CausalConv3d_1, Conv1x1x1NormActivated_2
+        # paths: [1x1x1 -> causal(2,3,3)], [1x1x1 -> causal(1,3,3)], [1x1x1].
+        # The three parallel 1x1x1 prologs are fused into one conv+BN in
+        # TemporalBlock (models/temporal_layers.py 'prolog_fused'):
+        prolog_convs = [f'{t}.convolution_paths.0.0.conv',
+                        f'{t}.convolution_paths.1.0.conv',
+                        f'{t}.convolution_paths.2.conv']
+        prolog_bns = [f'{t}.convolution_paths.0.0.norm',
+                      f'{t}.convolution_paths.1.0.norm',
+                      f'{t}.convolution_paths.2.norm']
+        pf = fb + ('prolog_fused',)
+        entries += [(pf + ('Conv_0', 'kernel'),
+                     tuple(c + '.weight' for c in prolog_convs),
+                     _concat_conv3d_1x1, 'params')]
+        entries += _bn_fused(pf + ('BatchNorm_0',), prolog_bns)
         for pi, kt in enumerate([2, 1]):
-            entries += _conv1x1x1_norm_act(fb + (f'Conv1x1x1NormActivated_{pi}',),
-                                           f'{t}.convolution_paths.{pi}.0')
             entries += _causal_conv3d(fb + (f'CausalConv3d_{pi}',),
                                       f'{t}.convolution_paths.{pi}.1', kt=kt)
-        entries += _conv1x1x1_norm_act(fb + ('Conv1x1x1NormActivated_2',),
-                                       f'{t}.convolution_paths.2')
         if use_pyramid_pooling:
             entries += _conv1x1x1_norm_act(
                 fb + ('PyramidSpatioTemporalPooling_0', 'Conv1x1x1NormActivated_0'),
                 f'{t}.pyramid_pooling.features.0.conv_bn_relu')
-        entries += _conv1x1x1_norm_act(fb + ('Conv1x1x1NormActivated_3',),
+        entries += _conv1x1x1_norm_act(fb + ('Conv1x1x1NormActivated_0',),
                                        f'{t}.aggregation.0')
         if block_out != block_in:
             entries += _conv(fb + ('Conv_0',), f'{t}.projection.0',
@@ -208,8 +245,16 @@ def future_prediction_mapping(n_gru_blocks=3, n_res_layers=3) -> List[Entry]:
     for i in range(n_gru_blocks):
         fg = ('future_prediction', f'SpatialGRU_{i}')
         t = f'model.future_prediction.spatial_grus.{i}'
-        entries += _conv(fg + ('conv_update',), t + '.conv_update', bias=True)
-        entries += _conv(fg + ('conv_reset',), t + '.conv_reset', bias=True)
+        # update/reset gate convs are fused into one 'conv_gates' conv
+        # (models/temporal_layers.SpatialGRU; update channels first, then reset)
+        entries += [
+            (fg + ('conv_gates', 'kernel'),
+             (t + '.conv_update.weight', t + '.conv_reset.weight'),
+             _concat_conv2d, 'params'),
+            (fg + ('conv_gates', 'bias'),
+             (t + '.conv_update.bias', t + '.conv_reset.bias'),
+             _concat_id, 'params'),
+        ]
         entries += _conv_block(fg + ('conv_state_tilde',), t + '.conv_state_tilde')
         for j in range(n_res_layers):
             # res Bottlenecks keep channel count -> no projection
@@ -243,14 +288,19 @@ def decoder_mapping(predict_future_flow=True) -> List[Entry]:
         fu = fb + (f'UpsamplingAdd_{i}',)
         entries += _conv(fu + ('Conv_0',), f'{t}.{name}.upsample_layer.1')
         entries += _bn(fu + ('BatchNorm_0',), f'{t}.{name}.upsample_layer.2')
-    heads = [('_Head_0', 'segmentation_head'), ('_Head_1', 'instance_center_head'),
-             ('_Head_2', 'instance_offset_head')]
+    # the four heads' 3x3 convs + BNs are fused into decoder/heads
+    # (models/decoder.FusedHeads); the trailing 1x1s stay per-head (out_i)
+    head_names = ['segmentation_head', 'instance_center_head', 'instance_offset_head']
     if predict_future_flow:
-        heads.append(('_Head_3', 'instance_future_head'))
-    for fh, th in heads:
-        entries += _conv(fb + (fh, 'Conv_0'), f'{t}.{th}.0')
-        entries += _bn(fb + (fh, 'BatchNorm_0'), f'{t}.{th}.1')
-        entries += _conv(fb + (fh, 'Conv_1'), f'{t}.{th}.3', bias=True)
+        head_names.append('instance_future_head')
+    hf = fb + ('heads',)
+    entries += [(hf + ('conv_fused', 'kernel'),
+                 tuple(f'{t}.{th}.0.weight' for th in head_names),
+                 _concat_conv2d, 'params')]
+    entries += _bn_fused(hf + ('BatchNorm_0',),
+                         [f'{t}.{th}.1' for th in head_names])
+    for i, th in enumerate(head_names):
+        entries += _conv(hf + (f'out_{i}',), f'{t}.{th}.3', bias=True)
     return entries
 
 
@@ -300,11 +350,16 @@ def import_torch_state_dict(state_dict: Dict[str, np.ndarray], model_cfg,
     out = {'params': {}, 'batch_stats': {}}
     used = set()
     for flax_path, torch_name, transform, collection in mapping:
-        if torch_name not in state_dict:
+        names = torch_name if isinstance(torch_name, tuple) else (torch_name,)
+        missing = [n for n in names if n not in state_dict]
+        if missing:
             if strict:
-                raise KeyError(f'torch checkpoint missing {torch_name}')
+                raise KeyError(f'torch checkpoint missing {missing[0]}')
             continue
-        value = transform(np.asarray(state_dict[torch_name]))
+        if isinstance(torch_name, tuple):
+            value = transform(tuple(np.asarray(state_dict[n]) for n in names))
+        else:
+            value = transform(np.asarray(state_dict[torch_name]))
         if variables is not None:
             expected = np.asarray(_get_in(variables[collection], flax_path))
             if expected.shape != value.shape:
@@ -312,7 +367,7 @@ def import_torch_state_dict(state_dict: Dict[str, np.ndarray], model_cfg,
                     f'{torch_name} -> {"/".join(flax_path)}: shape {value.shape} '
                     f'!= expected {expected.shape}')
         _set_in(out[collection], flax_path, value)
-        used.add(torch_name)
+        used.update(names)
 
     uncertainty = {}
     for uw in ['segmentation_weight', 'centerness_weight', 'offset_weight',
@@ -382,4 +437,10 @@ def merge_subtree(dst, src):
 
 def export_expected_torch_names(model_cfg):
     """The torch names this importer expects (for tests / coverage checks)."""
-    return [torch_name for _, torch_name, _, _ in build_mapping(model_cfg)]
+    names = []
+    for _, torch_name, _, _ in build_mapping(model_cfg):
+        if isinstance(torch_name, tuple):
+            names.extend(torch_name)
+        else:
+            names.append(torch_name)
+    return names

@@ -39,7 +39,9 @@ def test_export_roundtrip(tmp_path):
         if w is None:
             assert got.get(k) is None
             continue
-        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(w), atol=1e-5)
+        # atol covers AOT-vs-jit reduction-order noise (fused-conv GEMM splits
+        # differ between the two compiles; observed max ~2e-5 on O(1) outputs)
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(w), atol=5e-5)
 
 
 def test_export_rejects_garbage(tmp_path):

@@ -63,6 +63,23 @@ def _inverse_transform(flax_value, transform_name):
     return v
 
 
+def _fabricate(state_dict, torch_name, leaf, transform):
+    """Write torch tensor(s) for one mapping entry into state_dict, inverting the
+    transform. Fused entries (tuple of names) split the concatenated flax leaf into
+    equal per-source slices before inverting the single-tensor transform."""
+    leaf = np.asarray(leaf)
+    if isinstance(torch_name, tuple):
+        n = len(torch_name)
+        base = {'_concat_conv2d': '_conv2d', '_concat_conv3d_1x1': '_conv3d_1x1',
+                '_concat_id': '_id'}[transform.__name__]
+        axis = 0 if base == '_id' else -1
+        parts = np.split(leaf, n, axis=axis)
+        for name, part in zip(torch_name, parts):
+            state_dict[name] = _inverse_transform(part, base)
+    else:
+        state_dict[torch_name] = _inverse_transform(leaf, transform.__name__)
+
+
 def test_mapping_covers_flax_tree(model_and_vars):
     """Every mapped flax path must exist in the real variable tree (no stale names)."""
     cfg, model, variables = model_and_vars
@@ -96,8 +113,8 @@ def test_import_round_trip(model_and_vars):
     mapping = build_mapping(cfg)
     state_dict = {}
     for flax_path, torch_name, transform, collection in mapping:
-        leaf = np.asarray(_get_in(variables[collection], flax_path))
-        state_dict[torch_name] = _inverse_transform(leaf, transform.__name__)
+        leaf = _get_in(variables[collection], flax_path)
+        _fabricate(state_dict, torch_name, leaf, transform)
     state_dict['model.segmentation_weight'] = np.asarray(0.25)
 
     imported, uncertainty = import_torch_state_dict(state_dict, cfg,
@@ -117,8 +134,8 @@ def test_import_strict_errors(model_and_vars):
     mapping = build_mapping(cfg)
     state_dict = {}
     for flax_path, torch_name, transform, collection in mapping:
-        leaf = np.asarray(_get_in(variables[collection], flax_path))
-        state_dict[torch_name] = _inverse_transform(leaf, transform.__name__)
+        leaf = _get_in(variables[collection], flax_path)
+        _fabricate(state_dict, torch_name, leaf, transform)
     state_dict['model.not_a_real_param'] = np.zeros(3)
     with pytest.raises(KeyError):
         import_torch_state_dict(state_dict, cfg, strict=True)

@@ -73,14 +73,14 @@ class CfgNode(dict):
 
     # -- merging ---------------------------------------------------------
     def merge_from_other_cfg(self, other):
-        _merge_a_into_b(other, self)
+        _merge_a_into_b(other, self, strict=True)
 
     def merge_from_dict(self, d):
-        _merge_a_into_b(CfgNode(d), self)
+        _merge_a_into_b(CfgNode(d), self, strict=True)
 
     def merge_from_file(self, filename):
         loaded = _load_yaml_with_base(filename)
-        _merge_a_into_b(loaded, self)
+        _merge_a_into_b(loaded, self, strict=True)
 
     def merge_from_list(self, opts):
         """Merge from a flat list ['KEY', 'VALUE', 'KEY.SUBKEY', 'VALUE', ...]."""
@@ -150,10 +150,17 @@ def _coerce_value_type(new, old, full_key):
     )
 
 
-def _merge_a_into_b(a, b):
+def _merge_a_into_b(a, b, strict=False, _prefix=''):
+    """Merge a into b. With ``strict`` (the user-facing merge paths), a key absent
+    from b raises — matching the reference's yacs 'Non-existent config key' behaviour
+    (fvcore CfgNode; a typo'd YAML/override key must not be silently accepted).
+    ``_BASE_`` resolution merges non-strictly (the base may not predate the child)."""
     for k, v in a.items():
+        full_key = _prefix + k
+        if strict and k not in b:
+            raise KeyError(f'Non-existent config key: {full_key}')
         if isinstance(v, (dict, CfgNode)) and k in b and isinstance(b[k], CfgNode):
-            _merge_a_into_b(v, b[k])
+            _merge_a_into_b(v, b[k], strict=strict, _prefix=full_key + '.')
         else:
             if isinstance(v, dict) and not isinstance(v, CfgNode):
                 v = CfgNode(v)

@@ -12,24 +12,70 @@ import jax
 import jax.numpy as jnp
 
 
+def _kth_largest(x, k):
+    """Exact k-th largest along the last axis, radix select on float bits.
+
+    TPU-native replacement for ``lax.top_k(x, k)[0][..., -1]``: top_k lowers to a
+    full (bitonic) sort, ~15 ms at the segmentation-loss shape (15, 40000) with
+    k=10000. Here: map f32 to order-preserving uint32, then descend 8 levels of
+    4-bit dense histograms (broadcast compare + reduce — no sort, no scatter;
+    random-access scatter runs at only ~55M rows/s on TPU). Exact for any k and
+    any tie structure. Returns shape x.shape[:-1] + (1,).
+    """
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    # order-preserving map: nonneg -> set sign bit; neg -> flip all bits
+    u = jnp.where((bits >> 31) == 0, bits | jnp.uint32(0x80000000), ~bits)
+    prefix = jnp.zeros(x.shape[:-1] + (1,), jnp.uint32)    # known high bits of kth
+    rank = jnp.full(x.shape[:-1] + (1,), k, jnp.int32)     # rank within prefix group
+    buckets = jnp.arange(16, dtype=jnp.uint32)
+    for level in range(8):
+        shift = 28 - 4 * level
+        active = ((u >> jnp.uint32(shift + 4)) == (prefix >> jnp.uint32(shift + 4))
+                  if level else jnp.ones(u.shape, bool))
+        b = (u >> jnp.uint32(shift)) & jnp.uint32(0xF)
+        onehot = (b[..., None] == buckets) & active[..., None]
+        hist = onehot.sum(axis=-2)                         # (..., 16)
+        # cnt_ge[j] = #active elements in buckets >= j (non-increasing in j)
+        cnt_ge = jnp.cumsum(hist[..., ::-1], axis=-1)[..., ::-1]
+        bstar = jnp.sum((cnt_ge >= rank).astype(jnp.int32), axis=-1,
+                        keepdims=True) - 1                 # largest j: cnt_ge >= rank
+        cnt_gt = jnp.take_along_axis(cnt_ge - hist, bstar, axis=-1)
+        rank = rank - cnt_gt
+        prefix = prefix | (bstar.astype(jnp.uint32) << jnp.uint32(shift))
+    out = jnp.where((prefix >> 31) == 1, prefix ^ jnp.uint32(0x80000000), ~prefix)
+    return jax.lax.bitcast_convert_type(out, jnp.float32)
+
+
+def _top_k_sum_from_threshold(loss, kth, k):
+    """Sum of the k largest entries given the exact k-th value: strictly-greater
+    entries plus the right multiplicity of the threshold value (exact under ties)."""
+    gt = (loss > kth).astype(loss.dtype)
+    sum_gt = jnp.sum(loss * gt, axis=-1)
+    cnt_gt = jnp.sum(gt, axis=-1)
+    return sum_gt + (k - cnt_gt) * kth[..., 0]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _top_k_mean(loss, k):
     """Mean of the k largest entries along the last axis (averaged over all dims).
 
-    Forward matches jnp.mean(lax.top_k(loss, k)[0]) exactly; the custom backward is a
-    threshold mask (grad distributed over entries >= the k-th value) instead of a
-    scatter through sort indices — the index scatter dominates the loss backward on
-    TPU. With ties at the threshold the mask subgradient spreads the same total
-    gradient over the tied entries (a valid subgradient; exact whenever untied).
+    Forward matches jnp.mean(lax.top_k(loss, k)[0]) exactly (same multiset of
+    values, via radix select instead of sort); the custom backward is a threshold
+    mask (grad distributed over entries >= the k-th value) instead of a scatter
+    through sort indices — both the full sort and the index scatter are
+    TPU-hostile. With ties at the threshold the mask subgradient spreads the same
+    total gradient over the tied entries (a valid subgradient; exact when untied).
     """
-    vals = jax.lax.top_k(loss, k)[0]
-    return jnp.mean(vals)
+    kth = _kth_largest(loss, k)
+    n_rows = loss.size // loss.shape[-1]
+    return jnp.sum(_top_k_sum_from_threshold(loss, kth, k)) / (n_rows * k)
 
 
 def _top_k_mean_fwd(loss, k):
-    vals, _ = jax.lax.top_k(loss, k)
-    kth = vals[..., -1:]
-    return jnp.mean(vals), (loss, kth)
+    kth = _kth_largest(loss, k)
+    n_rows = loss.size // loss.shape[-1]
+    mean = jnp.sum(_top_k_sum_from_threshold(loss, kth, k)) / (n_rows * k)
+    return mean, (loss, kth)
 
 
 def _top_k_mean_bwd(k, res, g):

@@ -150,3 +150,30 @@ def test_top_k_mean_gradient_matches_sort_autodiff():
     # forward values equal too
     np.testing.assert_allclose(float(_top_k_mean(loss, k)),
                                float(jnp.mean(jax.lax.top_k(loss, k)[0])), rtol=1e-6)
+
+
+def test_kth_largest_radix_select_exact():
+    """_kth_largest is bit-exact vs lax.top_k across ties, signs and denormals."""
+    import jax
+    from fiery_tpu.training.losses import _kth_largest, _top_k_mean
+    rng = np.random.RandomState(0)
+    cases = [
+        rng.randn(4, 7, 1000).astype(np.float32) * 100,
+        np.where(rng.rand(3, 5, 2000) < 0.7, 0.0,
+                 rng.rand(3, 5, 2000)).astype(np.float32),   # heavy zero ties
+        np.full((2, 3, 500), 3.25, np.float32),              # all equal
+        np.round(rng.randn(5, 800) * 3).astype(np.float32),  # mixed-sign ties
+        rng.rand(2, 300).astype(np.float32) * 1e-38,         # denormal range
+    ]
+    for x in cases:
+        xj = jnp.asarray(x)
+        for k in (1, 7, x.shape[-1] // 4, x.shape[-1]):
+            ref_kth = np.asarray(jax.lax.top_k(xj, k)[0][..., -1:])
+            got = np.asarray(_kth_largest(xj, k))
+            np.testing.assert_array_equal(got, ref_kth)
+            # mean of top-k via the threshold formula matches the sorted mean
+            ref_mean = float(jnp.mean(jax.lax.top_k(xj, k)[0]))
+            got_mean = float(_top_k_mean(xj.reshape(-1, x.shape[-1]), k))
+            # reduction order differs (masked sum vs sorted sum): fp noise only
+            np.testing.assert_allclose(got_mean, ref_mean,
+                                       rtol=1e-4, atol=1e-6 * max(1.0, abs(ref_mean)))

@@ -29,8 +29,9 @@ EVALUATION_RANGES = {'30x30': (70, 130), '100x100': (0, 200)}
 
 @jax.jit
 def _device_consistent(output):
-    """Fully-on-device postprocessing: decode + greedy temporal ID matching (vmapped
-    over the batch). Alternative to the host Hungarian path (--device-matching)."""
+    """Fully-on-device postprocessing: decode + exact optimal-assignment temporal ID
+    matching (ops/lap.py Jonker-Volgenant, vmapped over the batch) — the same optimum
+    as the host scipy Hungarian path (--device-matching)."""
     pred_inst = decode_instance_predictions(
         {k: output[k] for k in ['segmentation', 'instance_center', 'instance_offset']})
     flow = output['instance_flow']
@@ -106,14 +107,11 @@ def main():
     parser.add_argument('--version', default=None, type=str)
     parser.add_argument('--max-batches', default=None, type=int)
     parser.add_argument('--device-matching', action='store_true',
-                        help='use the jittable greedy ID matcher instead of the host '
-                             'Hungarian (keeps the whole eval path on device)')
+                        help='use the jittable exact Jonker-Volgenant ID matcher '
+                             'instead of the host scipy Hungarian (keeps the whole '
+                             'eval path on device; same optimal assignment)')
     args = parser.parse_args()
 
-    if args.device_matching:
-        print('NOTE: --device-matching uses a greedy mutual-nearest ID matcher, not '
-              'the reference Hungarian protocol; VPQ numbers are not directly '
-              'comparable to published reference numbers.')
     results = eval_checkpoint(args.checkpoint, args.dataroot, args.version,
                               args.max_batches, device_matching=args.device_matching)
     for panoptic_key in ['iou', 'pq', 'sq', 'rq']:

@@ -230,19 +230,22 @@ def predict_instance_segmentation_and_trajectories(
 
 
 # ---------------------------------------------------------------------------
-# Device-side temporal consistency (greedy matching, fully jittable)
+# Device-side temporal consistency (exact optimal assignment, fully jittable)
 # ---------------------------------------------------------------------------
 
 def make_instance_id_temporally_consistent_device(pred_inst, future_flow,
                                                   matching_threshold=3.0,
                                                   max_instances=MAX_INSTANCES):
-    """Jittable greedy variant of the Hungarian ID association.
+    """Jittable device variant of the Hungarian ID association.
 
     pred_inst: (s, h, w) int32 (single sequence); future_flow: (s, h, w, 2).
-    Greedy nearest-center matching (threshold 3.0) instead of the Hungarian optimum;
-    identical in the common low-density case, and keeps the whole eval path on device.
-    Returns (s, h, w) int32 with temporally consistent ids.
+    Uses the exact Jonker-Volgenant optimum (ops/lap.py) on the padded center
+    distance matrix — the same optimal assignment scipy computes in the host path
+    (reference instance.py:242) — so device-matched VPQ follows the reference
+    protocol. Keeps the whole eval path on device. Returns (s, h, w) int32 with
+    temporally consistent ids.
     """
+    from fiery_tpu.ops.lap import linear_sum_assignment
     s, h, w = pred_inst.shape
     K = max_instances + 1  # slot per possible id, 0 = background
 
@@ -271,14 +274,17 @@ def make_instance_id_temporally_consistent_device(pred_inst, future_flow,
         dist = jnp.where(prev_valid[:, None] & cur_valid[None, :], dist, jnp.inf)
         dist = dist.at[:, 0].set(jnp.inf).at[0, :].set(jnp.inf)
 
-        # greedy: each current id claims its nearest previous id if it is also the
-        # mutual nearest and within threshold
-        best_prev = jnp.argmin(dist, axis=0)                 # for each cur id
-        best_cur = jnp.argmin(dist, axis=1)                  # for each prev id
+        # exact optimal assignment on the padded matrix: BIG dominates any sum of
+        # real distances (<= K * grid diagonal), so every valid pair the optimum
+        # can serve is served, exactly like scipy on the rectangular submatrix
+        big = jnp.float32(1e6)
+        col4row = linear_sum_assignment(jnp.where(jnp.isfinite(dist), dist, big))
+        row4col = jnp.zeros((K,), jnp.int32).at[col4row].set(
+            jnp.arange(K, dtype=jnp.int32))
         cur_ids = jnp.arange(K)
-        mutual = best_cur[best_prev] == cur_ids
-        dmin = jnp.min(dist, axis=0)
-        matched = mutual & (dmin < matching_threshold) & cur_valid
+        best_prev = row4col                                  # for each cur id
+        dsel = dist[row4col, cur_ids]                        # assigned-pair distance
+        matched = (dsel < matching_threshold) & cur_valid
 
         # new ids for unmatched current instances (consecutive after next_free_id)
         unmatched = cur_valid & ~matched & (cur_ids > 0)

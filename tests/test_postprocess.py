@@ -177,9 +177,9 @@ def test_predict_instance_segmentation_driver():
     assert 1 in centers and centers[1].shape == (2, 2)
 
 
-def test_device_greedy_temporal_consistency():
-    """The jittable greedy matcher must agree with the host Hungarian on simple
-    (non-conflicting) scenes, and run under jit."""
+def test_device_lap_temporal_consistency():
+    """The jittable exact-LAP matcher must agree with the host Hungarian on simple
+    scenes, and run under jit."""
     import jax
     h = w = 32
     s = 3
@@ -204,7 +204,7 @@ def test_device_greedy_temporal_consistency():
         assert ids_a != ids_b
 
 
-def test_device_greedy_new_instance():
+def test_device_lap_new_instance():
     import jax
     h = w = 32
     pred_inst = np.zeros((2, h, w), np.int32)
@@ -217,3 +217,37 @@ def test_device_greedy_new_instance():
     assert (out[1][4:8, 4:8] == 1).all()
     new_id = int(out[1][21, 21])
     assert new_id not in (0, 1)
+
+
+def test_device_lap_matches_host_on_random_scenes():
+    """Device LAP matcher == host scipy-Hungarian matcher on randomized crowded
+    scenes (many instances, random motion, id permutations across frames)."""
+    import jax
+    rng = np.random.RandomState(7)
+    h = w = 48
+    s = 4
+    for trial in range(5):
+        n_inst = rng.randint(3, 8)
+        base = rng.randint(6, h - 10, size=(n_inst, 2))
+        vel = rng.randint(-3, 4, size=(n_inst, 2))
+        pred_inst = np.zeros((s, h, w), np.int32)
+        flow = np.zeros((s, h, w, 2), np.float32)
+        for t in range(s):
+            perm = rng.permutation(n_inst)  # decoded per-frame ids are arbitrary
+            for local_id, k in enumerate(perm, start=1):
+                x = int(np.clip(base[k, 0] + vel[k, 0] * t, 0, h - 5))
+                y = int(np.clip(base[k, 1] + vel[k, 1] * t, 0, w - 5))
+                pred_inst[t, x:x + 4, y:y + 4] = local_id
+                flow[t, x:x + 4, y:y + 4, 0] = vel[k, 0]
+                flow[t, x:x + 4, y:y + 4, 1] = vel[k, 1]
+        # fresh lambda: re-jitting the SAME function object at a second shape in
+        # one process trips a stale-executable fastpath ("supplied 2 buffers but
+        # compiled program expected 3") in this jax build
+        out_dev = np.asarray(
+            jax.jit(lambda p, f: I.make_instance_id_temporally_consistent_device(p, f))(
+                jnp.asarray(pred_inst), jnp.asarray(flow)))
+        out_host = I.make_instance_id_temporally_consistent(
+            pred_inst[None].astype(np.int64), flow[None])[0]
+        # identical tracking decisions => identical label fields:
+        # both relabel against frame-0 ids with the same fresh-id allocation order
+        assert (out_dev == out_host).all(), trial

@@ -524,3 +524,202 @@ def randomize_bn_stats(module, seed=0):
 def prefixed_state_dict(module, prefix):
     return {prefix + k: v.detach().numpy() for k, v in module.state_dict().items()
             if not k.endswith('num_batches_tracked')}
+
+
+# ---------------------------------------------------------------------------
+# Full-graph golden model: the composed reference forward (fiery.py:130-191)
+# ---------------------------------------------------------------------------
+
+def golden_euler2mat(angle):
+    """torch restatement of reference geometry.py:109-140 (R = Rx @ Ry @ Rz)."""
+    x, y, z = angle[..., 0], angle[..., 1], angle[..., 2]
+    cz, sz = torch.cos(z), torch.sin(z)
+    cy, sy = torch.cos(y), torch.sin(y)
+    cx, sx = torch.cos(x), torch.sin(x)
+    zeros, ones = torch.zeros_like(z), torch.ones_like(z)
+    zmat = torch.stack([cz, -sz, zeros, sz, cz, zeros, zeros, zeros, ones],
+                       dim=-1).view(*z.shape, 3, 3)
+    ymat = torch.stack([cy, zeros, sy, zeros, ones, zeros, -sy, zeros, cy],
+                       dim=-1).view(*z.shape, 3, 3)
+    xmat = torch.stack([ones, zeros, zeros, zeros, cx, -sx, zeros, sx, cx],
+                       dim=-1).view(*z.shape, 3, 3)
+    return xmat @ ymat @ zmat
+
+
+def golden_pose_vec2mat(vec):
+    """torch restatement of reference geometry.py:143-157."""
+    translation = vec[..., :3].unsqueeze(-1)
+    rot = golden_euler2mat(vec[..., 3:])
+    transform = torch.cat([rot, translation], dim=-1)
+    bottom = torch.zeros_like(transform[..., :1, :])
+    bottom[..., 0, 3] = 1.0
+    return torch.cat([transform, bottom], dim=-2)
+
+
+def golden_mat2pose_vec(matrix):
+    """torch restatement of reference geometry.py:82-106."""
+    rotx = torch.atan2(-matrix[..., 1, 2], matrix[..., 2, 2])
+    cosy = torch.sqrt(matrix[..., 1, 2] ** 2 + matrix[..., 2, 2] ** 2)
+    roty = torch.atan2(matrix[..., 0, 2], cosy)
+    rotz = torch.atan2(-matrix[..., 0, 1], matrix[..., 0, 0])
+    rotation = torch.stack([rotx, roty, rotz], dim=-1)
+    return torch.cat([matrix[..., :3, 3], rotation], dim=-1)
+
+
+def golden_warp_features(x, flow, spatial_extent):
+    """Reference geometry.py:181-222 SE(2) bilinear warp; x (b, c, h, w), flow (b, 6)."""
+    b = x.shape[0]
+    angle = flow[:, 5]
+    tx = -flow[:, 0] / spatial_extent[0]
+    ty = flow[:, 1] / spatial_extent[1]
+    cos_t, sin_t = torch.cos(angle), torch.sin(angle)
+    transformation = torch.stack(
+        [cos_t, -sin_t, ty, sin_t, cos_t, tx], dim=-1).view(b, 2, 3)
+    grid = F.affine_grid(transformation, size=list(x.shape), align_corners=False)
+    return F.grid_sample(x, grid.float(), mode='bilinear', padding_mode='zeros',
+                         align_corners=False)
+
+
+def golden_cumulative_warp_features(x, flow, spatial_extent):
+    """Reference geometry.py:225-253: past frames warped to the present frame.
+
+    x (b, t, c, h, w); flow (b, t, 6)."""
+    flow_mat = golden_pose_vec2mat(flow)
+    # frame t is warped by the composed pose flow[t] @ ... @ flow[-2]
+    mats = [flow_mat[:, -2]]
+    for t in reversed(range(x.shape[1] - 2)):
+        mats.append(flow_mat[:, t] @ mats[-1])
+    mats = mats[::-1]
+    out = [golden_warp_features(x[:, t], golden_mat2pose_vec(mats[t]),
+                                spatial_extent)
+           for t in range(x.shape[1] - 1)] + [x[:, -1]]
+    return torch.stack(out, dim=1)
+
+
+class GoldenFiery(nn.Module):
+    """The composed reference graph (fiery.py:130-191) from the per-stage golden
+    modules, plus torch restatements of the geometry path: frustum
+    (fiery.py:109-128), get_geometry (fiery.py:193-208), voxel pooling as a dense
+    scatter-add oracle (fiery.py:221-273), cumulative warp (geometry.py:225-253).
+    Eval-mode only (the train path adds stochastic drop-connect / future-dist
+    sampling)."""
+
+    def __init__(self, C=16, D=6, final_dim=(64, 96), downsample=8,
+                 d_bound=(2.0, 8.0, 1.0), x_bound=(-8.0, 8.0, 0.5),
+                 y_bound=(-8.0, 8.0, 0.5), z_bound=(-10.0, 10.0, 20.0),
+                 receptive_field=3, n_future=2, latent_dim=4,
+                 start_out_channels=16, n_gru_blocks=2, n_res_layers=2,
+                 future_in_channels=None, version='b0'):
+        super().__init__()
+        self.C, self.D = C, D
+        self.receptive_field = receptive_field
+        self.n_future = n_future
+        self.latent_dim = latent_dim
+        self.spatial_extent = (x_bound[1], y_bound[1])
+        bounds = [x_bound, y_bound, z_bound]
+        self.bev_resolution = torch.tensor([r[2] for r in bounds])
+        self.bev_start = torch.tensor([r[0] + r[2] / 2.0 for r in bounds])
+        self.bev_dim = [int((r[1] - r[0]) / r[2]) for r in bounds]
+
+        H, W = final_dim
+        h, w = H // downsample, W // downsample
+        depths = torch.arange(*d_bound, dtype=torch.float32)
+        xs = torch.linspace(0, W - 1, w)
+        ys = torch.linspace(0, H - 1, h)
+        frustum = torch.stack(torch.broadcast_tensors(
+            xs.view(1, 1, w), ys.view(1, h, 1), depths.view(-1, 1, 1)), dim=-1)
+        self.register_buffer('frustum', frustum)     # (D, h, w, 3) (u, v, depth)
+
+        bev_hw = (self.bev_dim[0], self.bev_dim[1])
+        self.encoder = GoldenEncoder(C, D, version, downsample)
+        self.temporal_model = GoldenTemporalModel(
+            C + 6, receptive_field, bev_hw, start_out_channels)
+        self.present_distribution = GoldenDistribution(start_out_channels,
+                                                       latent_dim)
+        self.future_distribution = GoldenDistribution(
+            future_in_channels or start_out_channels, latent_dim)
+        self.future_prediction = GoldenFuturePrediction(
+            start_out_channels, latent_dim, n_gru_blocks, n_res_layers)
+        self.decoder = GoldenDecoder(start_out_channels)
+
+    def get_geometry(self, intrinsics, extrinsics):
+        """Reference fiery.py:193-208; intrinsics (B, n, 3, 3), extrinsics (B, n, 4, 4)."""
+        rotation = extrinsics[..., :3, :3]
+        translation = extrinsics[..., :3, 3]
+        points = torch.cat([self.frustum[..., :2] * self.frustum[..., 2:3],
+                            self.frustum[..., 2:3]], dim=-1)     # (D, h, w, 3)
+        combined = rotation @ torch.inverse(intrinsics)          # (B, n, 3, 3)
+        pts = torch.einsum('bnij,dhwj->bndhwi', combined, points)
+        return pts + translation.view(*translation.shape[:2], 1, 1, 1, 3)
+
+    def voxel_pool(self, feats, geometry):
+        """Dense scatter-add oracle for reference fiery.py:221-273.
+
+        feats (B, n, C, D, h, w); geometry (B, n, D, h, w, 3) -> (B, C, X, Y)."""
+        B = feats.shape[0]
+        X, Y, Z = self.bev_dim
+        out = feats.new_zeros(B, X * Y * Z, self.C)
+        vox = torch.trunc((geometry - (self.bev_start - self.bev_resolution / 2.0))
+                          / self.bev_resolution).long()          # (B, n, D, h, w, 3)
+        valid = ((vox >= 0)
+                 & (vox < torch.tensor([X, Y, Z]))).all(dim=-1)  # (B, n, D, h, w)
+        flat = (vox[..., 0] * Y + vox[..., 1]) * Z + vox[..., 2]
+        f = feats.permute(0, 1, 3, 4, 5, 2).reshape(B, -1, self.C)  # points x C
+        flat = flat.reshape(B, -1)
+        valid = valid.reshape(B, -1)
+        for b in range(B):
+            ids = flat[b][valid[b]]
+            out[b].index_add_(0, ids, f[b][valid[b]])
+        return (out.view(B, X, Y, Z, self.C).sum(dim=3)
+                .permute(0, 3, 1, 2).contiguous())               # (B, C, X, Y)
+
+    def forward(self, image, intrinsics, extrinsics, future_egomotion,
+                future_distribution_inputs=None, noise=None):
+        # image (b, s, n, 3, H, W); channels-first like the reference
+        rf = self.receptive_field
+        b, s, n = image.shape[:3]
+        image = image[:, :rf].contiguous()
+        intrinsics = intrinsics[:, :rf]
+        extrinsics = extrinsics[:, :rf]
+        ego = future_egomotion[:, :rf]
+        output = {}
+
+        packed = image.view(b * rf, n, *image.shape[3:])
+        feats = self.encoder(packed.reshape(b * rf * n, *image.shape[3:]))
+        feats = feats.view(b * rf, n, self.C, self.D, *feats.shape[-2:])
+        geometry = self.get_geometry(intrinsics.reshape(b * rf, n, 3, 3),
+                                     extrinsics.reshape(b * rf, n, 4, 4))
+        x = self.voxel_pool(feats, geometry)
+        x = x.view(b, rf, self.C, *x.shape[-2:])                 # (b, rf, C, X, Y)
+
+        x = golden_cumulative_warp_features(x, ego, self.spatial_extent)
+
+        # spatial egopose concat, shifted right (reference fiery.py:148-155)
+        h, w = x.shape[-2:]
+        ego_maps = ego.view(b, rf, 6, 1, 1).expand(b, rf, 6, h, w)
+        ego_maps = torch.cat([torch.zeros_like(ego_maps[:, :1]),
+                              ego_maps[:, :rf - 1]], dim=1)
+        x = torch.cat([x, ego_maps], dim=2)
+
+        states = self.temporal_model(x)
+        present_state = states[:, :1]
+
+        present_mu, present_ls = self.present_distribution(present_state)
+        future_mu, future_ls = None, None
+        if future_distribution_inputs is not None:
+            fdi = future_distribution_inputs[:, 1:]
+            fdi = fdi.reshape(b, 1, -1, h, w)
+            future_features = torch.cat([present_state, fdi], dim=2)
+            future_mu, future_ls = self.future_distribution(future_features)
+        output.update({'present_mu': present_mu, 'present_log_sigma': present_ls,
+                       'future_mu': future_mu, 'future_log_sigma': future_ls})
+
+        if noise is None:
+            noise = torch.zeros_like(present_mu)
+        sample = present_mu + torch.exp(present_ls) * noise      # eval semantics
+        future_input = sample.view(b, 1, self.latent_dim, 1, 1).expand(
+            b, self.n_future, self.latent_dim, h, w)
+        future_states = self.future_prediction(future_input, present_state[:, 0])
+        states_cat = torch.cat([present_state, future_states], dim=1)
+        output.update(self.decoder(states_cat))
+        return output

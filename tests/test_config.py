@@ -88,3 +88,18 @@ def test_shipped_configs_parse():
         args = parser.parse_args(['--config-file', path])
         cfg = get_cfg(args)
         assert cfg.TAG
+
+
+def test_unknown_config_key_rejected(tmp_path):
+    """yacs parity: a typo'd key must raise, from cfg_dict, YAML and CLI alike
+    (reference fvcore CfgNode 'Non-existent config key')."""
+    import pytest
+    with pytest.raises(KeyError, match='MODEL.NOT_A_KEY'):
+        get_cfg(cfg_dict={'MODEL': {'NOT_A_KEY': 1}})
+    bad_yaml = tmp_path / 'bad.yml'
+    bad_yaml.write_text('MODEL:\n  ENCODR:\n    NAME: efficientnet-b0\n')
+    parser = get_parser()
+    with pytest.raises(KeyError, match='MODEL.ENCODR'):
+        get_cfg(parser.parse_args(['--config-file', str(bad_yaml)]))
+    with pytest.raises(KeyError):
+        get_cfg(parser.parse_args(['BATCHSIZE_TYPO', '4']))

@@ -49,6 +49,48 @@ def bench_eval(batch, precision, n_iters=10):
     return n_iters * batch / (time.perf_counter() - start)
 
 
+def bench_eval_e2e(batch, precision, n_iters=10):
+    """Full on-device eval pipeline: model forward + jittable instance decode +
+    exact Jonker-Volgenant temporal ID matching (ops/lap.py), ids pulled as int16.
+
+    Measures the serving path `evaluate.py --device-matching` exercises — no host
+    postprocessing in the loop."""
+    import jax
+    import jax.numpy as jnp
+    from fiery_tpu.utils.config import get_cfg
+    from fiery_tpu.models.fiery import build_fiery
+    from fiery_tpu.data.synthetic import SyntheticFutureDataset
+    from fiery_tpu.postprocess.instance import (
+        decode_instance_predictions, make_instance_id_temporally_consistent_device)
+
+    cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision})
+    model = build_fiery(cfg)
+    ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
+    b = ds.get_batch(list(range(batch)))
+    args = tuple(jnp.asarray(b[k]) for k in
+                 ['image', 'intrinsics', 'extrinsics', 'future_egomotion'])
+    variables = jax.jit(model.init, static_argnames='train')(
+        {'params': jax.random.key(0)}, *args, train=False)
+
+    def full(v, *a):
+        output = model.apply(v, *a, None, train=False)
+        pred_inst = decode_instance_predictions(
+            {k: output[k] for k in
+             ['segmentation', 'instance_center', 'instance_offset']})
+        consistent = jax.vmap(make_instance_id_temporally_consistent_device)(
+            pred_inst, output['instance_flow'])
+        return consistent.astype(jnp.int16)
+
+    fn = jax.jit(full)
+    out = fn(variables, *args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(variables, *args)
+    jax.block_until_ready(out)
+    return n_iters * batch / (time.perf_counter() - start)
+
+
 def bench_train(batch, precision, n_iters=10):
     import jax
     import jax.numpy as jnp
@@ -121,7 +163,7 @@ def bench_train_e2e(batch, precision, n_iters=10, dataroot=None):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--mode', default='train',
-                        choices=['train', 'eval', 'train-e2e'])
+                        choices=['train', 'eval', 'eval-e2e', 'train-e2e'])
     parser.add_argument('--dataroot', default=None, type=str,
                         help='train-e2e only: nuScenes dataroot (default synthetic)')
     parser.add_argument('--batch', default=None, type=int)
@@ -141,6 +183,12 @@ def main():
         value = bench_train_e2e(batch, precision, args.iters, args.dataroot)
         ref = ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC
         metric = 'baseline_train_e2e_clips_per_sec_per_chip'
+    elif args.mode == 'eval-e2e':
+        batch = args.batch or 1
+        precision = args.precision or 32
+        value = bench_eval_e2e(batch, precision, args.iters)
+        ref = ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC
+        metric = 'baseline_eval_e2e_clips_per_sec_per_chip'
     else:
         batch = args.batch or 1
         precision = args.precision or 32

@@ -120,7 +120,13 @@ def bench_train_e2e(batch, precision, n_iters=10, dataroot=None):
     workers for real datasets, prefetch thread for synthetic) + device step.
 
     Measures the budget SURVEY §7 flags as the likely real-data bottleneck
-    (7 frames x 6 cams of JPEG decode + rasterisation per sample)."""
+    (7 frames x 6 cams of JPEG decode + rasterisation per sample).
+
+    CAVEAT (this dev environment): the axon device tunnel moves host->device
+    data at only a few MB/s, and one batch carries ~80 MB of f32 images — the
+    number this mode prints here measures the tunnel, not the host pipeline
+    (0.50 clips/s vs 6.2 device-only). On a real TPU host this link is PCIe
+    and the loader (multiprocess decode + label cache) is the actual subject."""
     import jax
     import jax.numpy as jnp
     from fiery_tpu.utils.config import get_cfg
@@ -129,7 +135,8 @@ def bench_train_e2e(batch, precision, n_iters=10, dataroot=None):
 
     cfg_dict = {'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision,
                 'BATCHSIZE': batch,
-                'DATASET': {'N_SYNTHETIC_SAMPLES': max(64, batch * (n_iters + 2))}}
+                'DATASET': {'NAME': 'synthetic',
+                            'N_SYNTHETIC_SAMPLES': max(64, batch * (n_iters + 2))}}
     if dataroot:
         cfg_dict['DATASET']['NAME'] = 'nuscenes'
         cfg_dict['DATASET']['DATAROOT'] = dataroot

@@ -2,7 +2,8 @@
 
 Behavioural port of the reference data plane (/root/reference/fiery/data.py:28-462):
 scene splits, chronological sliding windows rejecting scene boundaries, JPEG ->
-bilinear resize -> top-crop -> ImageNet normalisation with the resize/crop folded into
+bilinear resize -> top-crop (ImageNet normalisation happens ON DEVICE in the model;
+images ship as RAW uint8 = 4x less host->device traffic) with the resize/crop folded into
 the intrinsics, camera->"flat lidar ego" extrinsics via quaternion chains, cv2.fillPoly
 rasterisation of annotation bottom corners with a yaw-only ego pose, 6-DoF future
 egomotion between consecutive lidar poses, the Lyft ::2 subsample with egomotion
@@ -220,6 +221,9 @@ class FuturePredictionDataset:
     def _load_images(self, filenames):
         resize_dims = self.augmentation_parameters['resize_dims']
         crop = self.augmentation_parameters['crop']
+        # Images are returned as RAW uint8 post-resize/crop frames — the exact
+        # reference intermediate (data.py:211-219) — and ImageNet-normalised ON
+        # DEVICE by the model: 4x less host RAM traffic and host->device DMA.
         if self._use_native_images():
             from fiery_tpu.native import decode_resize_crop_normalize
             blobs = []
@@ -227,14 +231,18 @@ class FuturePredictionDataset:
                 with open(path, 'rb') as f:
                     blobs.append(f.read())
             try:
-                return decode_resize_crop_normalize(
-                    blobs, resize_dims, crop, IMAGENET_MEAN, IMAGENET_STD)
+                # mean 0 / std 1/255 makes the pipe emit the raw pixel value in
+                # f32; rint is exact (error ~1e-5 << 0.5) before the u8 cast
+                raw = decode_resize_crop_normalize(
+                    blobs, resize_dims, crop, np.zeros(3, np.float32),
+                    np.full(3, 1.0 / 255.0, np.float32))
+                return np.rint(raw).astype(np.uint8)
             except RuntimeError:
                 pass  # e.g. a non-JPEG file slipped in; fall back to PIL below
         images = []
         for path in filenames:
             img = resize_and_crop_image(Image.open(path), resize_dims, crop)
-            images.append(normalise_image(img))
+            images.append(np.asarray(img, dtype=np.uint8))
         return np.stack(images)
 
     def _use_native_images(self):
@@ -386,7 +394,7 @@ class FuturePredictionDataset:
             tokens.append(rec['token'])
 
         data = {
-            'image': np.stack(images).astype(np.float32),
+            'image': np.stack(images),    # RAW uint8 frames
             'intrinsics': np.stack(intrinsics),
             'extrinsics': np.stack(extrinsics),
             'segmentation': np.stack(segmentations)[..., None],

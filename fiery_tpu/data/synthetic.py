@@ -3,7 +3,8 @@
 Serves the integration-test / benchmark role the reference fills with nuScenes-mini
 debug configs (debug_baseline.yml); shapes and dict layout match the real pipeline
 (reference data.py:346-367 docstring), channels-last:
-  image (s, n, H, W, 3), intrinsics (s, n, 3, 3), extrinsics (s, n, 4, 4),
+  image (s, n, H, W, 3) uint8 RAW pixels (normalised on device like the real
+  loader path), intrinsics (s, n, 3, 3), extrinsics (s, n, 4, 4),
   future_egomotion (s, 6), segmentation (s, X, Y, 1) int, instance (s, X, Y) int,
   centerness (s, X, Y, 1), offset (s, X, Y, 2), flow (s, X, Y, 2).
 """
@@ -99,8 +100,15 @@ class SyntheticFutureDataset:
             ignore_index=self.cfg.DATASET.IGNORE_INDEX,
             spatial_extent=self.spatial_extent)
 
+        # ship RAW uint8 pixels like the real loader (4x less host->device
+        # traffic; the model normalises on device) — map the normalised-space
+        # float image back through the ImageNet statistics
+        from fiery_tpu.data.nuscenes_dataset import IMAGENET_MEAN, IMAGENET_STD
+        image_u8 = np.clip((image * IMAGENET_STD + IMAGENET_MEAN) * 255.0,
+                           0.0, 255.0).round().astype(np.uint8)
+
         return {
-            'image': image,
+            'image': image_u8,
             'intrinsics': intrinsics,
             'extrinsics': extrinsics,
             'future_egomotion': future_egomotion,

@@ -40,6 +40,12 @@ from fiery_tpu.utils.geometry import (
     unpack_sequence_dim,
 )
 
+# ImageNet statistics of the reference preprocessing (reference data.py:53-57);
+# duplicated from fiery_tpu.data.nuscenes_dataset to keep models free of
+# data-plane imports — used for on-device normalisation of RAW uint8 batches.
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
 
 @dataclasses.dataclass(frozen=True)
 class FieryConfig:
@@ -249,7 +255,15 @@ class Fiery(nn.Module):
         output = {}
 
         # only past + present frames feed perception (reference fiery.py:134-137)
-        image = image[:, :rf].astype(c.compute_dtype)
+        image = image[:, :rf]
+        if image.dtype == jnp.uint8:
+            # loaders may ship RAW uint8 crops (4x less host->device traffic; the
+            # uint8 post-resize/crop frame is the exact reference intermediate,
+            # data.py:211-219) — ImageNet-normalise on device in f32, identical
+            # math to the host normalisation of the f32 path
+            image = ((image.astype(jnp.float32) / 255.0 - _IMAGENET_MEAN)
+                     / _IMAGENET_STD)
+        image = image.astype(c.compute_dtype)
         intrinsics = intrinsics[:, :rf]
         extrinsics = extrinsics[:, :rf]
         future_egomotion_in = future_egomotion[:, :rf]

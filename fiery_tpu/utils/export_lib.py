@@ -56,8 +56,12 @@ def export_model(cfg, checkpoint: str = '', batch: int = 1):
         return model.apply(variables, image, intrinsics, extrinsics,
                            future_egomotion, None, train=False)
 
-    specs = tuple(jax.ShapeDtypeStruct(shapes[k], jnp.float32)
-                  for k in ['image', 'intrinsics', 'extrinsics', 'future_egomotion'])
+    # serving contract: images arrive as RAW uint8 post-crop frames (the loader
+    # format); the exported graph contains the on-device ImageNet normalisation
+    specs = tuple(
+        jax.ShapeDtypeStruct(shapes[k],
+                             jnp.uint8 if k == 'image' else jnp.float32)
+        for k in ['image', 'intrinsics', 'extrinsics', 'future_egomotion'])
     var_specs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), variables)
     exported = jexport.export(jax.jit(fn))(var_specs, *specs)

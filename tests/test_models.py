@@ -315,3 +315,40 @@ def test_fishing_stress_config_shapes():
     fdi = jnp.zeros((1, 2, 320, 192, 6))
     out, _ = init_and_apply(model, image, intr, extr, ego, fdi, train=False)
     assert out['segmentation'].shape == (1, 2, 320, 192, 2)
+
+
+def test_uint8_image_input_matches_prenormalized():
+    """A RAW uint8 image batch must produce the same outputs as the equivalent
+    host-normalised f32 batch (on-device ImageNet normalisation, fiery.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fiery_tpu.models.fiery import Fiery, FieryConfig, _IMAGENET_MEAN, _IMAGENET_STD
+
+    cfg = FieryConfig(
+        time_receptive_field=3, n_future_frames=2, final_dim=(32, 48),
+        x_bound=(-8.0, 8.0, 0.5), y_bound=(-8.0, 8.0, 0.5),
+        d_bound=(2.0, 6.0, 1.0), encoder_name='efficientnet-b0',
+        encoder_out_channels=16, start_out_channels=16, latent_dim=4,
+        n_gru_blocks=2, n_res_layers=2)
+    model = Fiery(cfg=cfg)
+    rng = np.random.RandomState(0)
+    b, s, n = 1, 5, 2
+    img_u8 = rng.randint(0, 256, (b, s, n, 32, 48, 3)).astype(np.uint8)
+    img_f32 = (img_u8.astype(np.float32) / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
+    K = np.array([[20.0, 0, 24], [0, 20.0, 16], [0, 0, 1]], np.float32)
+    intr = jnp.broadcast_to(jnp.asarray(K), (b, s, n, 3, 3))
+    extr = jnp.broadcast_to(jnp.asarray(np.eye(4, dtype=np.float32)), (b, s, n, 4, 4))
+    ego = jnp.zeros((b, s, 6))
+    noise = jnp.zeros((b, 1, 4))
+    variables = jax.jit(model.init, static_argnames='train')(
+        {'params': jax.random.key(0)}, jnp.asarray(img_u8), intr, extr, ego,
+        None, train=False)
+    out_u8 = model.apply(variables, jnp.asarray(img_u8), intr, extr, ego, None,
+                         noise, train=False)
+    out_f32 = model.apply(variables, jnp.asarray(img_f32), intr, extr, ego, None,
+                          noise, train=False)
+    for k in out_u8:
+        if out_u8[k] is None:
+            continue
+        np.testing.assert_allclose(np.asarray(out_u8[k]), np.asarray(out_f32[k]),
+                                   atol=1e-5, err_msg=k)

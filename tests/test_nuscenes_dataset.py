@@ -115,6 +115,9 @@ def test_windows_do_not_cross_scenes(dataset):
 def test_sample_shapes_and_layout(dataset):
     sample = dataset[0]
     assert sample['image'].shape == (3, 2, 24, 48, 3)
+    # RAW uint8 post-crop frames (the exact reference intermediate,
+    # data.py:211-219); ImageNet normalisation happens on device in the model
+    assert sample['image'].dtype == np.uint8
     assert sample['intrinsics'].shape == (3, 2, 3, 3)
     assert sample['extrinsics'].shape == (3, 2, 4, 4)
     assert sample['segmentation'].shape == (3, 32, 32, 1)

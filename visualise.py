@@ -69,7 +69,10 @@ def plot_prediction(image, output, cfg):
     for i in range(min(6, n_cams)):
         ax = fig.add_subplot(3, 3, i + 1 if i < 3 else i + 4)
         img = np.asarray(image[0, present, i])
-        img = np.clip(img * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
+        if img.dtype == np.uint8:      # loaders now ship RAW uint8 frames
+            img = img.astype(np.float64) / 255.0
+        else:                          # normalised f32 (e.g. offline npz clips)
+            img = np.clip(img * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
         if i >= 3:
             img = img[:, ::-1]
         ax.imshow(img)

@@ -51,7 +51,7 @@ def bench_eval(batch, precision, n_iters=10):
 
 def bench_eval_e2e(batch, precision, n_iters=10):
     """Full on-device eval pipeline: model forward + jittable instance decode +
-    exact Jonker-Volgenant temporal ID matching (ops/lap.py), ids pulled as int16.
+    Jonker-Volgenant temporal ID matching (ops/lap.py), ids pulled as int16.
 
     Measures the serving path `evaluate.py --device-matching` exercises — no host
     postprocessing in the loop."""

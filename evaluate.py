@@ -29,9 +29,10 @@ EVALUATION_RANGES = {'30x30': (70, 130), '100x100': (0, 200)}
 
 @jax.jit
 def _device_consistent(output):
-    """Fully-on-device postprocessing: decode + exact optimal-assignment temporal ID
-    matching (ops/lap.py Jonker-Volgenant, vmapped over the batch) — the same optimum
-    as the host scipy Hungarian path (--device-matching)."""
+    """Fully-on-device postprocessing: decode + optimal-assignment temporal ID
+    matching (ops/lap.py Jonker-Volgenant, vmapped over the batch) — the same
+    assignment problem as the host scipy Hungarian path, optimal up to f32
+    tie-breaking (--device-matching)."""
     pred_inst = decode_instance_predictions(
         {k: output[k] for k in ['segmentation', 'instance_center', 'instance_offset']})
     flow = output['instance_flow']
@@ -107,7 +108,7 @@ def main():
     parser.add_argument('--version', default=None, type=str)
     parser.add_argument('--max-batches', default=None, type=int)
     parser.add_argument('--device-matching', action='store_true',
-                        help='use the jittable exact Jonker-Volgenant ID matcher '
+                        help='use the jittable Jonker-Volgenant ID matcher '
                              'instead of the host scipy Hungarian (keeps the whole '
                              'eval path on device; same optimal assignment)')
     args = parser.parse_args()

@@ -239,51 +239,75 @@ def make_instance_id_temporally_consistent_device(pred_inst, future_flow,
     """Jittable device variant of the Hungarian ID association.
 
     pred_inst: (s, h, w) int32 (single sequence); future_flow: (s, h, w, 2).
-    Uses the exact Jonker-Volgenant optimum (ops/lap.py) on the padded center
-    distance matrix — the same optimal assignment scipy computes in the host path
-    (reference instance.py:242) — so device-matched VPQ follows the reference
-    protocol. Keeps the whole eval path on device. Returns (s, h, w) int32 with
-    temporally consistent ids.
+    Solves the same centroid-distance assignment problem as the host scipy path
+    (reference instance.py:242) with an exact Jonker-Volgenant solver (ops/lap.py);
+    the result is optimal up to f32 tie-breaking (cost precision ~1e-3 after cost
+    clipping — see below), so near-tied assignments and matches within ~1e-3 of the
+    3.0 threshold can differ from the f64 host path. Cumulative fresh ids are
+    tracked in ``s * max_instances + 1`` slots (the worst case: every frame all-new
+    instances), so no track is ever dropped from matching. Keeps the whole eval
+    path on device. Returns (s, h, w) int32 with temporally consistent ids.
     """
     from fiery_tpu.ops.lap import linear_sum_assignment
     s, h, w = pred_inst.shape
-    K = max_instances + 1  # slot per possible id, 0 = background
+    K = max_instances + 1       # per-frame slots (decode caps each frame at 100 ids)
+    K_total = s * max_instances + 1  # worst-case cumulative fresh ids over the clip
 
     grid = jnp.stack(jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                                   jnp.arange(w, dtype=jnp.float32), indexing='ij'))
 
-    def centers_of(frame, weights_grid):
-        """Mean position of each id 1..K-1 under the given coordinate grid."""
-        onehot = jax.nn.one_hot(frame, K, dtype=jnp.float32)          # (h, w, K)
-        counts = onehot.sum(axis=(0, 1))                               # (K,)
-        cx = (weights_grid[0][..., None] * onehot).sum(axis=(0, 1))
-        cy = (weights_grid[1][..., None] * onehot).sum(axis=(0, 1))
+    def centers_of(frame, coord_grid, num_slots):
+        """Mean position of each id 0..num_slots-1 under the given coordinate grid."""
+        flat = frame.reshape(-1)
+        counts = jax.ops.segment_sum(jnp.ones_like(flat, jnp.float32), flat,
+                                     num_segments=num_slots)
+        cx = jax.ops.segment_sum(coord_grid[0].reshape(-1), flat,
+                                 num_segments=num_slots)
+        cy = jax.ops.segment_sum(coord_grid[1].reshape(-1), flat,
+                                 num_segments=num_slots)
         denom = jnp.maximum(counts, 1.0)
-        return jnp.stack([cx / denom, cy / denom], -1), counts > 0     # (K, 2), (K,)
+        return jnp.stack([cx / denom, cy / denom], -1), counts > 0
 
     def step(carry, t):
         consistent_prev, next_free_id = carry
         cur = pred_inst[t]
 
         warped_grid = grid + jnp.moveaxis(future_flow[t - 1], -1, 0)
-        prev_centers, prev_valid = centers_of(consistent_prev, warped_grid)
-        cur_centers, cur_valid = centers_of(cur, grid)
+        prev_centers_all, prev_valid_all = centers_of(
+            consistent_prev, warped_grid, K_total)
+        cur_centers, cur_valid = centers_of(cur, grid, K)
+
+        # Compact the valid previous ids (at most max_instances per frame — each
+        # frame is a relabel of a <=100-id decode) into K assignment slots; slot 0
+        # stays background.
+        pv = prev_valid_all.at[0].set(False)
+        rank = jnp.cumsum(pv.astype(jnp.int32)) - 1
+        slot = jnp.where(pv & (rank < K - 1), rank + 1, K)
+        prev_slot_ids = jnp.zeros((K + 1,), jnp.int32).at[slot].set(
+            jnp.arange(K_total, dtype=jnp.int32), mode='drop')[:K]
+        prev_centers = prev_centers_all[prev_slot_ids]
+        prev_valid = prev_valid_all[prev_slot_ids] & (prev_slot_ids > 0)
 
         # distance matrix between warped previous centers and current centers
         dist = jnp.linalg.norm(prev_centers[:, None] - cur_centers[None, :], axis=-1)
-        dist = jnp.where(prev_valid[:, None] & cur_valid[None, :], dist, jnp.inf)
-        dist = dist.at[:, 0].set(jnp.inf).at[0, :].set(jnp.inf)
+        valid_pair = prev_valid[:, None] & cur_valid[None, :]
+        valid_pair = valid_pair.at[:, 0].set(False).at[0, :].set(False)
+        dist = jnp.where(valid_pair, dist, jnp.inf)
 
-        # exact optimal assignment on the padded matrix: BIG dominates any sum of
-        # real distances (<= K * grid diagonal), so every valid pair the optimum
-        # can serve is served, exactly like scipy on the rectangular submatrix
-        big = jnp.float32(1e6)
-        col4row = linear_sum_assignment(jnp.where(jnp.isfinite(dist), dist, big))
+        # Exact optimal assignment on the padded matrix. Costs beyond the accept
+        # threshold only matter for dominance, so clip them at 10x the threshold:
+        # this keeps the JV dual variables O(10) instead of O(BIG), preserving
+        # ~1e-3 f32 cost precision (a 1e6 pad was measured to lose ~0.1 absolute).
+        # BIG=1e4 still dominates any K * max-clipped-cost column sum (~3e3).
+        clip = jnp.float32(10.0 * matching_threshold)
+        big = jnp.float32(1e4)
+        cost = jnp.where(valid_pair, jnp.minimum(dist, clip), big)
+        col4row = linear_sum_assignment(cost)
         row4col = jnp.zeros((K,), jnp.int32).at[col4row].set(
             jnp.arange(K, dtype=jnp.int32))
         cur_ids = jnp.arange(K)
-        best_prev = row4col                                  # for each cur id
-        dsel = dist[row4col, cur_ids]                        # assigned-pair distance
+        best_prev = prev_slot_ids[row4col]                   # actual prev id per cur
+        dsel = dist[row4col, cur_ids]                        # unclipped pair distance
         matched = (dsel < matching_threshold) & cur_valid
 
         # new ids for unmatched current instances (consecutive after next_free_id)

@@ -68,7 +68,8 @@ def load_checkpoint(path, trainer=None):
     its state structure; otherwise raw arrays are returned in a TrainState."""
     path = os.path.abspath(path)
     with open(os.path.join(path, _CFG_FILE)) as f:
-        cfg = get_cfg(cfg_dict=json.load(f))
+        # non-strict: a renamed/removed default key must not make old ckpts unloadable
+        cfg = get_cfg(cfg_dict=json.load(f), cfg_dict_strict=False)
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.join(path, _STATE_DIR))
     state = TrainState(

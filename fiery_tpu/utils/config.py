@@ -75,8 +75,12 @@ class CfgNode(dict):
     def merge_from_other_cfg(self, other):
         _merge_a_into_b(other, self, strict=True)
 
-    def merge_from_dict(self, d):
-        _merge_a_into_b(CfgNode(d), self, strict=True)
+    def merge_from_dict(self, d, strict=True):
+        """strict=False (checkpoint-restore path): unknown keys are warned about and
+        dropped instead of raising, so removing/renaming a default key never makes
+        older checkpoints unloadable. User-facing YAML/CLI merges stay strict."""
+        _merge_a_into_b(CfgNode(d), self, strict=strict,
+                        drop_unknown=not strict)
 
     def merge_from_file(self, filename):
         loaded = _load_yaml_with_base(filename)
@@ -150,17 +154,23 @@ def _coerce_value_type(new, old, full_key):
     )
 
 
-def _merge_a_into_b(a, b, strict=False, _prefix=''):
+def _merge_a_into_b(a, b, strict=False, _prefix='', drop_unknown=False):
     """Merge a into b. With ``strict`` (the user-facing merge paths), a key absent
     from b raises — matching the reference's yacs 'Non-existent config key' behaviour
     (fvcore CfgNode; a typo'd YAML/override key must not be silently accepted).
-    ``_BASE_`` resolution merges non-strictly (the base may not predate the child)."""
+    ``_BASE_`` resolution merges non-strictly (the base may not predate the child).
+    With ``drop_unknown`` (checkpoint restore), unknown keys warn and are skipped."""
     for k, v in a.items():
         full_key = _prefix + k
         if strict and k not in b:
             raise KeyError(f'Non-existent config key: {full_key}')
+        if drop_unknown and k not in b:
+            import warnings
+            warnings.warn(f'Dropping unknown config key from checkpoint: {full_key}')
+            continue
         if isinstance(v, (dict, CfgNode)) and k in b and isinstance(b[k], CfgNode):
-            _merge_a_into_b(v, b[k], strict=strict, _prefix=full_key + '.')
+            _merge_a_into_b(v, b[k], strict=strict, _prefix=full_key + '.',
+                            drop_unknown=drop_unknown)
         else:
             if isinstance(v, dict) and not isinstance(v, CfgNode):
                 v = CfgNode(v)
@@ -297,11 +307,14 @@ def get_parser():
     return parser
 
 
-def get_cfg(args=None, cfg_dict=None):
-    """Defaults <- cfg_dict <- YAML file <- CLI KEY VALUE overrides (reference: config.py:136-149)."""
+def get_cfg(args=None, cfg_dict=None, cfg_dict_strict=True):
+    """Defaults <- cfg_dict <- YAML file <- CLI KEY VALUE overrides (reference: config.py:136-149).
+
+    ``cfg_dict_strict=False`` is the checkpoint-restore path: stale keys from older
+    checkpoints are dropped with a warning instead of raising."""
     cfg = _C.clone()
     if cfg_dict is not None:
-        cfg.merge_from_dict(cfg_dict)
+        cfg.merge_from_dict(cfg_dict, strict=cfg_dict_strict)
     if args is not None:
         if getattr(args, 'config_file', ''):
             cfg.merge_from_file(args.config_file)

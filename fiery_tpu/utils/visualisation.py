@@ -16,61 +16,41 @@ DEFAULT_COLORMAP = matplotlib.pylab.cm.jet
 
 
 def _make_colorwheel():
-    """Baker et al. optical-flow colour wheel (55 colours over 6 hue transitions)."""
-    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
-    ncols = RY + YG + GC + CB + BM + MR
-    wheel = np.zeros((ncols, 3))
-    col = 0
-    wheel[0:RY, 0] = 255
-    wheel[0:RY, 1] = np.floor(255 * np.arange(RY) / RY)
-    col += RY
-    wheel[col:col + YG, 0] = 255 - np.floor(255 * np.arange(YG) / YG)
-    wheel[col:col + YG, 1] = 255
-    col += YG
-    wheel[col:col + GC, 1] = 255
-    wheel[col:col + GC, 2] = np.floor(255 * np.arange(GC) / GC)
-    col += GC
-    wheel[col:col + CB, 1] = 255 - np.floor(255 * np.arange(CB) / CB)
-    wheel[col:col + CB, 2] = 255
-    col += CB
-    wheel[col:col + BM, 2] = 255
-    wheel[col:col + BM, 0] = np.floor(255 * np.arange(BM) / BM)
-    col += BM
-    wheel[col:col + MR, 2] = 255 - np.floor(255 * np.arange(MR) / MR)
-    wheel[col:col + MR, 0] = 255
-    return wheel
+    """Baker et al. (ICCV 2007) optical-flow colour wheel: 55 hues interpolated
+    along the 6 primary-colour transitions R->Y->G->C->B->M->R with the standard
+    per-segment lengths. Built here by vectorised interpolation between the anchor
+    colours (each segment changes exactly one RGB channel, quantised like the
+    original Middlebury flow code: floor(255*i/len)/255 steps)."""
+    seg_lens = np.array([15, 6, 4, 11, 13, 6])
+    anchors = np.array([[255, 0, 0], [255, 255, 0], [0, 255, 0], [0, 255, 255],
+                        [0, 0, 255], [255, 0, 255], [255, 0, 0]], dtype=np.float64)
+    seg_id = np.repeat(np.arange(len(seg_lens)), seg_lens)
+    seg_start = np.repeat(np.cumsum(seg_lens) - seg_lens, seg_lens)
+    pos = np.arange(seg_lens.sum()) - seg_start
+    frac = np.floor(255 * pos / np.repeat(seg_lens, seg_lens)) / 255
+    return anchors[seg_id] + frac[:, None] * (anchors[seg_id + 1] - anchors[seg_id])
 
 
 _COLORWHEEL = _make_colorwheel()
 
 
 def compute_color(u, v):
-    """Map (u, v) flow components to RGB in [0, 1] via the colour wheel."""
-    h, w = u.shape
-    img = np.zeros([h, w, 3])
+    """Map (u, v) flow components to RGB in [0, 1] via the colour wheel.
+
+    Flow angle selects (bilinearly, with wraparound) a wheel hue; radius <= 1
+    blends towards white, radius > 1 is dimmed to 75% (Middlebury convention)."""
     nan_mask = np.isnan(u) | np.isnan(v)
-    u = np.where(nan_mask, 0, u)
-    v = np.where(nan_mask, 0, v)
+    u = np.where(nan_mask, 0.0, u)
+    v = np.where(nan_mask, 0.0, v)
 
     ncols = _COLORWHEEL.shape[0]
-    rad = np.sqrt(u ** 2 + v ** 2)
-    a = np.arctan2(-v, -u) / np.pi
-    f_k = (a + 1) / 2 * (ncols - 1) + 1
-    k_0 = np.floor(f_k).astype(int)
-    k_1 = k_0 + 1
-    k_1[k_1 == ncols + 1] = 1
-    f = f_k - k_0
-
-    for i in range(3):
-        tmp = _COLORWHEEL[:, i]
-        col0 = tmp[k_0 - 1] / 255
-        col1 = tmp[k_1 - 1] / 255
-        col = (1 - f) * col0 + f * col1
-        idx = rad <= 1
-        col[idx] = 1 - rad[idx] * (1 - col[idx])
-        col[~idx] *= 0.75
-        img[:, :, i] = col * (1 - nan_mask)
-    return img
+    rad = np.sqrt(u * u + v * v)[..., None]
+    pos = (np.arctan2(-v, -u) / np.pi + 1) / 2 * (ncols - 1)   # [0, ncols-1]
+    k0 = np.floor(pos).astype(int)
+    f = (pos - k0)[..., None]
+    col = ((1 - f) * _COLORWHEEL[k0] + f * _COLORWHEEL[(k0 + 1) % ncols]) / 255
+    col = np.where(rad <= 1, 1 - rad * (1 - col), 0.75 * col)
+    return col * ~nan_mask[..., None]
 
 
 def flow_to_image(flow, autoscale=False):

@@ -5,6 +5,8 @@ import pytest
 
 from fiery_tpu.utils.config import get_cfg, get_parser, CfgNode
 
+pytestmark = pytest.mark.fast
+
 
 def test_defaults():
     cfg = get_cfg()
@@ -103,3 +105,19 @@ def test_unknown_config_key_rejected(tmp_path):
         get_cfg(parser.parse_args(['--config-file', str(bad_yaml)]))
     with pytest.raises(KeyError):
         get_cfg(parser.parse_args(['BATCHSIZE_TYPO', '4']))
+
+
+def test_checkpoint_restore_merge_drops_unknown_keys():
+    """The checkpoint-restore path (get_cfg(..., cfg_dict_strict=False)) must warn
+    and drop stale keys from older checkpoints instead of raising, while the
+    user-facing strict merge still rejects them."""
+    stale = {'BATCHSIZE': 7, 'REMOVED_TOP_KEY': 1,
+             'MODEL': {'ENCODER': {'NAME': 'efficientnet-b0', 'GONE': True}}}
+    with pytest.raises(KeyError):
+        get_cfg(cfg_dict=stale)
+    with pytest.warns(UserWarning, match='REMOVED_TOP_KEY'):
+        cfg = get_cfg(cfg_dict=stale, cfg_dict_strict=False)
+    assert cfg.BATCHSIZE == 7
+    assert cfg.MODEL.ENCODER.NAME == 'efficientnet-b0'
+    assert 'REMOVED_TOP_KEY' not in cfg
+    assert 'GONE' not in cfg.MODEL.ENCODER

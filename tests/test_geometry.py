@@ -1,7 +1,10 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from fiery_tpu.utils import geometry as G
+
+pytestmark = pytest.mark.fast
 
 
 def random_pose_vec(rng, shape=()):

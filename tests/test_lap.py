@@ -6,12 +6,15 @@ same optimal cost on every problem (assignments may differ only between equal-co
 optima, which random float costs make measure-zero).
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 import scipy.optimize
 
 from fiery_tpu.ops.lap import linear_sum_assignment
+
+pytestmark = pytest.mark.fast
 
 
 def test_lap_matches_scipy_random():

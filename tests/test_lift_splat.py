@@ -4,12 +4,15 @@ The oracle mirrors the reference masking/sort/cumsum pipeline
 (models/fiery.py:221-273, utils/geometry.py:283-314) with plain numpy.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from fiery_tpu.ops import lift_splat as LS
 from fiery_tpu.utils.geometry import calculate_birds_eye_view_parameters
+
+pytestmark = pytest.mark.fast
 
 X_BOUND = [-50.0, 50.0, 0.5]
 Y_BOUND = [-50.0, 50.0, 0.5]

@@ -1,11 +1,14 @@
 """Loss parity tests against a torch oracle re-stating the reference losses.py."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
 
 from fiery_tpu.training import losses as L
+
+pytestmark = pytest.mark.fast
 
 
 def torch_segmentation_loss(prediction, target, class_weights, ignore_index,

@@ -12,8 +12,9 @@ from fiery_tpu.data.nuscenes_dataset import (IMAGENET_MEAN, IMAGENET_STD,
                                              resize_and_crop_image)
 from fiery_tpu.native import decode_resize_crop_normalize, image_pipe_available
 
-pytestmark = pytest.mark.skipif(not image_pipe_available(),
-                                reason='native image pipeline not built')
+pytestmark = [pytest.mark.fast,
+              pytest.mark.skipif(not image_pipe_available(),
+                                 reason='native image pipeline not built')]
 
 
 def _jpeg_bytes(arr, quality=90):

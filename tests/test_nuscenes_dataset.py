@@ -20,6 +20,8 @@ from fiery_tpu.data.nuscenes_dataset import (
 from fiery_tpu.utils.config import get_cfg
 from fiery_tpu.utils.quaternion import quat_to_rotation_matrix, quat_yaw, yaw_quat
 
+pytestmark = pytest.mark.fast
+
 
 class FakeNusc:
     """Minimal nuScenes-like index: 2 scenes x 5 samples, 2 cameras, 1 moving car."""

@@ -251,3 +251,34 @@ def test_device_lap_matches_host_on_random_scenes():
         # identical tracking decisions => identical label fields:
         # both relabel against frame-0 ids with the same fresh-id allocation order
         assert (out_dev == out_host).all(), trial
+
+
+def test_device_lap_tracks_beyond_100_cumulative_ids():
+    """Cumulative fresh ids past max_instances must keep matching (regression:
+    one_hot sized at max_instances+1 silently dropped tracks with id > 100)."""
+    import jax
+    h = w = 120
+    s = 3
+    n = 60  # 60 ids in frame 0 + 60 fresh in frame 1 -> ids up to 120 > 100
+    pred_inst = np.zeros((s, h, w), np.int32)
+    flow = np.zeros((s, h, w, 2), np.float32)
+    # frame 0: n instances on an even grid; frames 1-2: n instances on a grid
+    # offset far (>3 px) from frame 0 -> all of frame 1 gets fresh ids, and
+    # frame 2 must re-match frame 1's (id > 100) tracks exactly.
+    k = 0
+    for i in range(0, h, 12):
+        for j in range(0, w, 12):
+            if k >= n:
+                break
+            pred_inst[0, i:i + 3, j:j + 3] = k + 1
+            pred_inst[1, i + 6:i + 9, j + 6:j + 9] = k + 1
+            pred_inst[2, i + 6:i + 9, j + 6:j + 9] = k + 1
+            k += 1
+    out = np.asarray(
+        jax.jit(lambda p, f: I.make_instance_id_temporally_consistent_device(p, f))(
+            jnp.asarray(pred_inst), jnp.asarray(flow)))
+    out_host = I.make_instance_id_temporally_consistent(
+        pred_inst[None].astype(np.int64), flow[None])[0]
+    assert int(out[1].max()) > 100  # the scenario really crosses the old cap
+    assert (out[2] == out[1]).all()  # tracks with id > 100 persist
+    assert (out == out_host).all()

@@ -1,0 +1,104 @@
+"""Honest per-stage timing of the baseline bf16 batch-3 train step (steady state)."""
+import time
+
+import jax
+import jax.numpy as jnp
+
+from fiery_tpu.utils.config import get_cfg
+from fiery_tpu.training.trainer import Trainer
+from fiery_tpu.training.losses import compute_losses
+from fiery_tpu.data.synthetic import SyntheticFutureDataset
+
+batch = 3
+cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': 16,
+                        'BATCHSIZE': batch})
+trainer = Trainer(cfg)
+model = trainer.model
+ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
+b = {k: jnp.asarray(v) for k, v in ds.get_batch(list(range(batch))).items()}
+state = jax.jit(trainer.init_state)(jax.random.key(0), b)
+rng = jax.random.key(1)
+
+
+def timeit(name, fn, *args, n=10):
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n * 1e3
+    print(f'{name:<44s} {dt:8.1f} ms   (compile {compile_s:.0f}s)', flush=True)
+    return out
+
+
+# 1. full train step
+timeit('full train_step', jax.jit(trainer.train_step), state, b, rng)
+
+# 2. forward + losses only (no grad, no optimizer)
+def fwd_only(params, batch_stats, batch, rng):
+    labels, fdi = trainer.prepare_future_labels(batch)
+    variables = {'params': params['model'], 'batch_stats': batch_stats}
+    output, _ = model.apply(
+        variables, batch['image'], batch['intrinsics'], batch['extrinsics'],
+        batch['future_egomotion'], fdi, train=True,
+        rngs={'sample': rng, 'dropout': rng}, mutable=['batch_stats'])
+    loss_dict = compute_losses(output, labels, params['uncertainty'], cfg)
+    return sum(loss_dict.values())
+
+timeit('forward+losses (train mode)', jax.jit(fwd_only), state.params,
+       state.batch_stats, b, rng)
+
+# 3. prepare_future_labels alone
+timeit('prepare_future_labels', jax.jit(trainer.prepare_future_labels), b)
+
+# 4. grad of forward (no optimizer update)
+def fwd_bwd(params, batch_stats, batch, rng):
+    return jax.grad(lambda p: fwd_only(p, batch_stats, batch, rng))(params)
+
+timeit('forward+backward (no optimizer)', jax.jit(fwd_bwd), state.params,
+       state.batch_stats, b, rng)
+
+# 5. encoder+lift+splat forward alone (packed 9 frame-groups)
+from fiery_tpu.ops.lift_splat import get_geometry
+from fiery_tpu.utils.geometry import pack_sequence_dim
+
+rf = trainer.receptive_field
+image = b['image'][:, :rf].astype(jnp.bfloat16)
+intr = pack_sequence_dim(b['intrinsics'][:, :rf])
+extr = pack_sequence_dim(b['extrinsics'][:, :rf])
+packed = pack_sequence_dim(image)
+geom = jax.jit(get_geometry)(trainer.model.frustum if hasattr(trainer.model, 'frustum')
+                             else None, intr, extr) if False else None
+# build geometry via the model's config frustum
+from fiery_tpu.ops.lift_splat import create_frustum
+frustum = jnp.asarray(create_frustum(trainer.model_cfg.final_dim,
+                                     trainer.model_cfg.encoder_downsample,
+                                     trainer.model_cfg.d_bound))
+geom = jax.jit(get_geometry)(frustum, intr, extr)
+
+from fiery_tpu.models.fiery import BEVLift
+bev_lift = BEVLift(cfg=trainer.model_cfg)
+lift_rngs = {'params': jax.random.key(0), 'dropout': jax.random.key(3)}
+lift_vars = jax.jit(bev_lift.init, static_argnames='train')(
+    lift_rngs, packed, geom, train=True)
+
+def lift_fwd(v, packed, geom):
+    out, _ = bev_lift.apply(v, packed, geom, train=True, mutable=['batch_stats'],
+                            rngs={'dropout': jax.random.key(3)})
+    return out
+
+timeit('encoder+lift+splat fwd', jax.jit(lift_fwd), lift_vars, packed, geom)
+
+def lift_fwd_bwd(v, packed, geom):
+    return jax.grad(lambda p: lift_fwd({'params': p,
+                                        'batch_stats': v['batch_stats']},
+                                       packed, geom).astype(jnp.float32).sum())(v['params'])
+
+timeit('encoder+lift+splat fwd+bwd', jax.jit(lift_fwd_bwd), lift_vars, packed, geom)
+
+# 6. temporal+future+decoder on random BEV (bypass lift): reuse full model apply with
+# a hacked method? Simpler: time the full fwd minus lift fwd as derived number.
+print('derived: post-lift fwd ~= fwd_total - lift_fwd - labels', flush=True)

@@ -42,8 +42,16 @@ def _device_consistent(output):
 
 
 def eval_checkpoint(checkpoint_path, dataroot=None, version=None, max_batches=None,
-                    device_matching=False):
-    state, cfg = load_checkpoint(checkpoint_path)
+                    device_matching=False, state_cfg=None):
+    if state_cfg is not None:
+        state, cfg = state_cfg
+    elif checkpoint_path.endswith(('.ckpt', '.pth', '.pt')):
+        # a reference torch checkpoint (e.g. the released fiery.ckpt): rebuild the
+        # cfg from its hyper_parameters and import every mapped weight
+        from fiery_tpu.utils.checkpoint import load_torch_full_checkpoint
+        state, cfg = load_torch_full_checkpoint(checkpoint_path)
+    else:
+        state, cfg = load_checkpoint(checkpoint_path)
     cfg.defrost()
     cfg.BATCHSIZE = 1
     if dataroot is not None:
@@ -103,7 +111,11 @@ def _scaled_ranges(bev_size):
 
 def main():
     parser = argparse.ArgumentParser(description='fiery_tpu evaluation')
-    parser.add_argument('--checkpoint', default='', type=str, required=True)
+    parser.add_argument('--checkpoint', default='', type=str,
+                        help='orbax checkpoint dir, or a reference torch '
+                             '.ckpt/.pth (e.g. the released fiery.ckpt)')
+    parser.add_argument('--torch-checkpoint', default='', type=str,
+                        help='explicit alias for a reference torch checkpoint')
     parser.add_argument('--dataroot', default=None, type=str)
     parser.add_argument('--version', default=None, type=str)
     parser.add_argument('--max-batches', default=None, type=int)
@@ -112,8 +124,11 @@ def main():
                              'instead of the host scipy Hungarian (keeps the whole '
                              'eval path on device; same optimal assignment)')
     args = parser.parse_args()
+    checkpoint = args.torch_checkpoint or args.checkpoint
+    if not checkpoint:
+        parser.error('--checkpoint (or --torch-checkpoint) is required')
 
-    results = eval_checkpoint(args.checkpoint, args.dataroot, args.version,
+    results = eval_checkpoint(checkpoint, args.dataroot, args.version,
                               args.max_batches, device_matching=args.device_matching)
     for panoptic_key in ['iou', 'pq', 'sq', 'rq']:
         print(panoptic_key)

@@ -126,7 +126,7 @@ class FuturePredictionDataset:
             scenes = [row['name'] for row in self.nusc.scene]
             indices = TRAIN_LYFT_INDICES if self.is_train else VAL_LYFT_INDICES
             return [scenes[i] for i in indices]
-        from nuscenes.utils.splits import create_splits_scenes
+        from fiery_tpu.data.nuscenes_indexer import create_splits_scenes
         split = {'v1.0-trainval': {True: 'train', False: 'val'},
                  'v1.0-mini': {True: 'mini_train', False: 'mini_val'}}[
                      self.nusc.version][self.is_train]
@@ -430,12 +430,16 @@ class FuturePredictionDataset:
 
 
 def build_real_datasets(cfg):
-    """Instantiate the devkit index + train/val datasets. Reference: data.py:429-450."""
+    """Instantiate the index + train/val datasets. Reference: data.py:429-450.
+
+    nuScenes indexing is self-contained (fiery_tpu.data.nuscenes_indexer reads the
+    plain-JSON tables directly — no devkit needed); Lyft still needs its SDK."""
     version = cfg.DATASET.VERSION
     if cfg.DATASET.NAME == 'nuscenes':
-        from nuscenes.nuscenes import NuScenes
+        from fiery_tpu.data.nuscenes_indexer import NuScenesIndex
         dataroot = os.path.join(cfg.DATASET.DATAROOT, version)
-        nusc = NuScenes(version=f'v1.0-{version}', dataroot=dataroot, verbose=False)
+        nusc = NuScenesIndex(version=f'v1.0-{version}', dataroot=dataroot,
+                             verbose=False)
         is_lyft = False
     elif cfg.DATASET.NAME == 'lyft':
         from lyft_dataset_sdk.lyftdataset import LyftDataset

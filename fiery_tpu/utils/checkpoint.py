@@ -114,6 +114,38 @@ def load_torch_pretrained(path, state, model_cfg):
     return state.replace(params=params, batch_stats=batch_stats)
 
 
+def load_torch_full_checkpoint(path, cfg_overrides=None):
+    """Restore (state, cfg) directly from a reference Lightning checkpoint.
+
+    The accuracy-parity entry point (reference evaluate.py:19 does
+    ``TrainingModule.load_from_checkpoint(fiery.ckpt)``): the config is rebuilt
+    from the checkpoint's ``hyper_parameters`` dict (the reference stores
+    cfg.convert_to_dict() there, trainer.py:19-22; our YAML key schema is
+    identical) with a non-strict merge, a TrainState is initialised at the
+    configured shapes, and every weight the importer maps (all of them for a
+    reference FIERY state_dict) is loaded. Returns (state, cfg)."""
+    import torch
+
+    import jax.numpy as jnp
+    from fiery_tpu.data.synthetic import SyntheticFutureDataset
+    from fiery_tpu.training.trainer import Trainer
+
+    blob = torch.load(path, map_location='cpu', weights_only=False)
+    hparams = {}
+    if isinstance(blob, dict):
+        hparams = blob.get('hyper_parameters') or blob.get('hparams') or {}
+    cfg = get_cfg(cfg_dict=dict(hparams), cfg_dict_strict=False)
+    if cfg_overrides:
+        cfg.merge_from_dict(cfg_overrides)
+
+    trainer = Trainer(cfg)
+    ds = SyntheticFutureDataset(cfg, n_samples=1, n_instances=1, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in ds.get_batch([0]).items()}
+    state = jax.jit(trainer.init_state)(jax.random.key(0), batch)
+    state = load_torch_pretrained(path, state, trainer.model_cfg)
+    return state, cfg
+
+
 def load_pretrained_params(path, state, model_cfg=None):
     """Partial warm start (reference train.py:20-27, strict=False): copy matching
     entries from a checkpoint's params into ``state``, keep the rest.

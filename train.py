@@ -159,26 +159,37 @@ def main():
                 logger.video('train_outputs', visualise_output(labels, output, cfg),
                              global_step)
 
-        # validation: IoU + VPQ over the val loader
+        # validation: IoU accumulated ON DEVICE (iou_update_jnp; one host pull per
+        # epoch instead of per-batch frame pulls), VPQ from compressed int16 ids
         iou_metric = IntersectionOverUnion(trainer.model_cfg.n_classes)
         panoptic_metric = PanopticMetric(trainer.model_cfg.n_classes)
         from fiery_tpu.postprocess.instance import (
             predict_instance_segmentation_and_trajectories)
+        from fiery_tpu.training.metrics import iou_update_jnp
+
+        n_classes = trainer.model_cfg.n_classes
+
+        @jax.jit
+        def val_step(state, batch, iou_state):
+            output, labels, _ = trainer.eval_step(state, batch)
+            seg_pred = jnp.argmax(output['segmentation'], axis=-1)
+            iou_state = iou_state + iou_update_jnp(
+                seg_pred, labels['segmentation'], n_classes)
+            return output, labels, iou_state
+
+        iou_state = jnp.zeros((4, n_classes), jnp.float32)
         for val_i, batch_np in enumerate(valloader):
             batch = {k: jnp.asarray(v) for k, v in numeric_batch(batch_np).items()}
-            output, labels, loss_dict = eval_step(state, batch)
+            output, labels, iou_state = val_step(state, batch, iou_state)
             if val_i == 0:
                 # val-batch-0 GT-vs-pred video (reference trainer.py:206-216)
                 from fiery_tpu.utils.visualisation import visualise_output
                 logger.video('val_outputs', visualise_output(labels, output, cfg),
                              global_step)
-            # compress on device before pulling: the device->host link can be slow
-            seg_pred = jnp.argmax(output['segmentation'], axis=-1).astype(jnp.uint8)
-            iou_metric.update(np.asarray(seg_pred),
-                              np.asarray(labels['segmentation'].astype(jnp.uint8)))
             consistent = predict_instance_segmentation_and_trajectories(output)
             panoptic_metric.update(consistent,
                                    np.asarray(labels['instance'].astype(jnp.int16)))
+        iou_metric.load_state(np.asarray(iou_state).astype(np.float64))
         # uncertainty-weight logging (reference trainer.py:236-246)
         uw = jax.device_get(state.params['uncertainty'])
         logger.scalar('segmentation_weight', 1.0 / np.exp(uw['segmentation_weight']),

@@ -24,7 +24,7 @@ ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC = 4.5
 ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC = 2.0
 
 
-def bench_eval(batch, precision, n_iters=10):
+def bench_eval(batch, precision, n_iters=10, fold_bn=True):
     import jax
     import jax.numpy as jnp
     from fiery_tpu.utils.config import get_cfg
@@ -39,7 +39,15 @@ def bench_eval(batch, precision, n_iters=10):
                  ['image', 'intrinsics', 'extrinsics', 'future_egomotion'])
     variables = jax.jit(model.init, static_argnames='train')(
         {'params': jax.random.key(0)}, *args, train=False)
-    fn = jax.jit(lambda v, *a: model.apply(v, *a, None, train=False))
+    if fold_bn:
+        # serving graph: BN folded into conv weights + baked as jit constants
+        # (utils/bn_fold.py) — the separate normalize passes vanish
+        from fiery_tpu.utils.bn_fold import make_serving_fn
+        serve, variables = make_serving_fn(model, jax.device_get(variables),
+                                           args + (None,))
+        fn = jax.jit(lambda v, *a: serve(v, *a, None))
+    else:
+        fn = jax.jit(lambda v, *a: model.apply(v, *a, None, train=False))
     out = fn(variables, *args)
     jax.block_until_ready(out)
     start = time.perf_counter()
@@ -49,7 +57,7 @@ def bench_eval(batch, precision, n_iters=10):
     return n_iters * batch / (time.perf_counter() - start)
 
 
-def bench_eval_e2e(batch, precision, n_iters=10):
+def bench_eval_e2e(batch, precision, n_iters=10, fold_bn=True):
     """Full on-device eval pipeline: model forward + jittable instance decode +
     Jonker-Volgenant temporal ID matching (ops/lap.py), ids pulled as int16.
 
@@ -71,9 +79,16 @@ def bench_eval_e2e(batch, precision, n_iters=10):
                  ['image', 'intrinsics', 'extrinsics', 'future_egomotion'])
     variables = jax.jit(model.init, static_argnames='train')(
         {'params': jax.random.key(0)}, *args, train=False)
+    if fold_bn:
+        from fiery_tpu.utils.bn_fold import make_serving_fn
+        serve, variables = make_serving_fn(model, jax.device_get(variables),
+                                           args + (None,))
+    else:
+        def serve(v, *a):
+            return model.apply(v, *a, train=False)
 
     def full(v, *a):
-        output = model.apply(v, *a, None, train=False)
+        output = serve(v, *a, None)
         pred_inst = decode_instance_predictions(
             {k: output[k] for k in
              ['segmentation', 'instance_center', 'instance_offset']})
@@ -176,6 +191,9 @@ def main():
     parser.add_argument('--batch', default=None, type=int)
     parser.add_argument('--precision', default=None, type=int, choices=[16, 32])
     parser.add_argument('--iters', default=10, type=int)
+    parser.add_argument('--no-fold-bn', action='store_true',
+                        help='eval modes: keep runtime BatchNorm (A/B for the '
+                             'folded serving graph)')
     args = parser.parse_args()
 
     if args.mode == 'train':
@@ -193,13 +211,15 @@ def main():
     elif args.mode == 'eval-e2e':
         batch = args.batch or 1
         precision = args.precision or 32
-        value = bench_eval_e2e(batch, precision, args.iters)
+        value = bench_eval_e2e(batch, precision, args.iters,
+                               fold_bn=not args.no_fold_bn)
         ref = ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC
         metric = 'baseline_eval_e2e_clips_per_sec_per_chip'
     else:
         batch = args.batch or 1
         precision = args.precision or 32
-        value = bench_eval(batch, precision, args.iters)
+        value = bench_eval(batch, precision, args.iters,
+                           fold_bn=not args.no_fold_bn)
         ref = ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC
         metric = 'baseline_eval_clips_per_sec_per_chip'
 

@@ -59,12 +59,14 @@ def main():
         inputs = tuple(jnp.asarray(b[k]) for k in
                        ['image', 'intrinsics', 'extrinsics', 'future_egomotion'])
         got = loaded_fn(params, *inputs)
-        want = fn(variables, *inputs)
+        # compare compiled-vs-compiled: eager f32 accumulates in a different
+        # order than the fused XLA executable (~1e-4 on deep conv chains)
+        want = jax.jit(fn)(variables, *inputs)
         for k in want:
             if want[k] is None:
                 continue
             np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
-                                       atol=1e-5)
+                                       atol=1e-5, err_msg=k)
         print('validate ok: exported artifact matches the live model')
 
 

@@ -73,6 +73,11 @@ class _BNCore(nn.Module):
     @nn.compact
     def __call__(self, x, use_running_average: bool):
         C = x.shape[-1]
+        # trace-time registry: utils/bn_fold.py needs each BN's epsilon (a module
+        # attribute, invisible in the params tree) to fold eval-mode BN into the
+        # preceding conv kernel. Python-level write, works under jax.eval_shape.
+        from fiery_tpu.utils import bn_fold
+        bn_fold.EPS_REGISTRY[self.scope.path] = self.epsilon
         scale = self.param('scale', self.scale_init, (C,), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (C,), jnp.float32)
         ra_mean = self.variable('batch_stats', 'mean',

@@ -15,12 +15,17 @@ import numpy as np
 _MAGIC = b'FIERYTPU1'
 
 
-def export_model(cfg, checkpoint: str = '', batch: int = 1):
+def export_model(cfg, checkpoint: str = '', batch: int = 1, fold_bn: bool = True):
     """Build the eval forward for ``cfg`` and serialize it.
+
+    fold_bn (default): BatchNorm affines are folded into the conv weights and
+    baked into the graph as constants (utils/bn_fold.py) — the serving artifact
+    contains no normalize ops and its params pytree carries no BN leaves.
 
     Returns (blob, variables, fn) where ``fn(variables, image, intrinsics,
     extrinsics, future_egomotion)`` is the live (uncompiled-call) reference for
-    validation.
+    validation; ``variables`` is whatever pytree ``fn`` expects (the non-BN
+    params when folded).
     """
     import jax
     import jax.numpy as jnp
@@ -52,9 +57,21 @@ def export_model(cfg, checkpoint: str = '', batch: int = 1):
                                example['intrinsics'], example['extrinsics'],
                                example['future_egomotion'], None, train=False)
 
-    def fn(variables, image, intrinsics, extrinsics, future_egomotion):
-        return model.apply(variables, image, intrinsics, extrinsics,
-                           future_egomotion, None, train=False)
+    if fold_bn:
+        from fiery_tpu.utils.bn_fold import make_serving_fn
+        ex_inputs = tuple(example[k] for k in
+                          ['image', 'intrinsics', 'extrinsics',
+                           'future_egomotion']) + (None,)
+        serve, variables = make_serving_fn(model, jax.device_get(variables),
+                                           ex_inputs)
+
+        def fn(variables, image, intrinsics, extrinsics, future_egomotion):
+            return serve(variables, image, intrinsics, extrinsics,
+                         future_egomotion, None)
+    else:
+        def fn(variables, image, intrinsics, extrinsics, future_egomotion):
+            return model.apply(variables, image, intrinsics, extrinsics,
+                               future_egomotion, None, train=False)
 
     # serving contract: images arrive as RAW uint8 post-crop frames (the loader
     # format); the exported graph contains the on-device ImageNet normalisation

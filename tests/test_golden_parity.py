@@ -279,3 +279,38 @@ def test_full_graph_golden_parity():
         got = np.asarray(out[key]).transpose(0, 1, 4, 2, 3)  # back to NCHW
         np.testing.assert_allclose(got, ref[key].numpy(), rtol=1e-3, atol=1e-3,
                                    err_msg=key)
+
+
+@pytest.mark.slow
+def test_encoder_b4_golden_parity():
+    """EfficientNet-b4 — the baseline encoder (reference encoder.py:16,
+    config.py:79) — golden parity at reduced spatial size: width 1.4 / depth 1.8
+    scaled block specs, truncation at downsample-8 (index 21 -> 22 blocks,
+    reference encoder.py:40-56), per-block drop-connect schedule params, and the
+    160+56-channel FPN concat. Pins the importer for b4, not just b0."""
+    from fiery_tpu.models.efficientnet import block_specs, truncation_index
+
+    # structural pins for the width/depth scaling and truncation
+    assert truncation_index('b4', 8) == 21
+    specs = block_specs('b4')
+    assert len(specs) >= 22
+    # spec tuple: (kernel, stride, expand, in_ch, out_ch, se_ratio)
+    assert specs[0][3] == 48 and specs[0][4] == 24      # stem 32*1.4 -> 48
+    assert specs[21][4] == 160                          # stride-16 stage width
+
+    torch.manual_seed(4)
+    golden = randomize_bn_stats(GoldenEncoder(C, D, 'b4', 8), seed=5).eval()
+    assert len(golden.backbone._blocks) == 22
+    sd = prefixed_state_dict(golden, 'model.encoder.')
+
+    x = np.random.RandomState(6).randn(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        ref = golden(torch.tensor(x)).numpy()
+
+    cfg = _model_cfg(encoder_name='efficientnet-b4')
+    variables = _import_subtree(sd, cfg, 'bev_lift', 'encoder')
+    enc = Encoder(out_channels=C, depth_channels=D, version='b4', downsample=8)
+    out = np.asarray(enc.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                               train=False))
+    np.testing.assert_allclose(out.transpose(0, 4, 3, 1, 2), ref,
+                               rtol=1e-4, atol=1e-4)

@@ -1,17 +1,34 @@
 """Benchmark harness: 6-cam clips/sec/chip on the baseline.yml model (real TPU).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (+ measured
+extras: ms_per_step, tflops_per_clip, achieved_tflops, mfu).
 
 Headline protocol: full training step (forward + backward + adamw update, losses incl.
 label warping) of the baseline model — 6 cameras, 224x480, T=3 past / 4 future frames,
 BEV 200x200 — at the reference per-GPU batch size 3 and PRECISION 16 (bf16 compute, as
 the reference trains fp16: baseline.yml:6). Metric = training clips/sec/chip.
 
-vs_baseline uses an ESTIMATED PyTorch A100 reference training throughput of
-4.5 clips/s/GPU (the reference publishes no throughput numbers — BASELINE.json
-"published" is empty; estimate = per-GPU batch 3 at ~1.5 it/s for a model of this size
-with 18 camera-frames per clip on A100 fp16). The constant keeps cross-round trends
-meaningful; it is not a measured number.
+vs_baseline (train mode): the reference publishes no throughput numbers
+(BASELINE.json "published" is empty), and the measured step is BANDWIDTH-bound,
+not FLOPs-bound (1.6 TFLOP/clip; the MXU is ~5% busy), so any "A100 reference
+clips/s" requires inventing a utilisation constant for an eager-torch pipeline —
+the round-1 4.5 constant was exactly that. Instead vs_baseline now reports a
+fully MEASURED quantity: the fraction of this chip's roofline the step achieves,
+
+    sol_step_time = max(flops / 197e12  [v5e bf16 peak],
+                        bytes / 819e9   [v5e HBM peak]),
+    vs_baseline   = sol_step_time / measured_step_time   (1.0 = speed of light),
+
+with both components (tflops_per_clip, hbm_gb_per_clip, mfu, hbm_util) in the
+JSON. Progress across rounds is tracked by `value` (clips/s, unchanged
+protocol) and by this roofline fraction. For an A100 comparison narrative:
+same-architecture FLOPs put an A100 fp16 UPPER bound at peak/flops ~= 195
+clips/s, and the bandwidth bound at ~2x our bytes-limited rate; the torch-eager
+reference (per-sample python splat loop, no fusion, fp16 AMP) plausibly
+achieves 10-25% of either — i.e. single-digit clips/s — but that range is an
+estimate, not a measurement, and is deliberately kept OUT of the JSON.
+If cost analysis is unavailable, vs_baseline falls back to value/4.5
+("ref_basis": "constant", the round-1 semantics).
 
 Extra modes (not the headline line): --mode eval, --batch N, --precision {16,32}.
 """
@@ -20,8 +37,10 @@ import argparse
 import json
 import time
 
-ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC = 4.5
+ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC = 4.5   # fallback when no cost analysis
 ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC = 2.0
+V5E_BF16_PEAK_FLOPS = 197e12
+V5E_HBM_BYTES_PER_SEC = 819e9
 
 
 def bench_eval(batch, precision, n_iters=10, fold_bn=True):
@@ -120,14 +139,52 @@ def bench_train(batch, precision, n_iters=10):
     b = {k: jnp.asarray(v) for k, v in ds.get_batch(list(range(batch))).items()}
     state = jax.jit(trainer.init_state)(jax.random.key(0), b)
     step = jax.jit(trainer.train_step, donate_argnums=(0,))
+
     rng = jax.random.key(1)
-    state, metrics = step(state, b, rng)   # compile + warm
+    # AOT-compile once; the same executable serves the timing loop (a plain
+    # step(...) call would compile a second time — jit does not reuse AOT).
+    step = step.lower(state, b, rng).compile()
+    flops_per_step = bytes_per_step = None
+    try:
+        cost = step.cost_analysis()
+        if cost and cost.get('flops'):
+            flops_per_step = float(cost['flops'])
+            bytes_per_step = float(cost.get('bytes accessed', 0.0)) or None
+    except Exception:
+        pass
+
+    state, metrics = step(state, b, rng)   # warm
     jax.block_until_ready(state)
     start = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = step(state, b, rng)
     jax.block_until_ready(state)
-    return n_iters * batch / (time.perf_counter() - start)
+    elapsed = time.perf_counter() - start
+    value = n_iters * batch / elapsed
+    step_time = elapsed / n_iters
+    extras = {'ms_per_step': round(1000.0 * step_time, 2)}
+    if flops_per_step:
+        achieved = flops_per_step / step_time
+        extras.update({
+            'tflops_per_clip': round(flops_per_step / batch / 1e12, 3),
+            'mfu': round(achieved / V5E_BF16_PEAK_FLOPS, 4),
+        })
+        if bytes_per_step:
+            extras.update({
+                'hbm_gb_per_clip': round(bytes_per_step / batch / 1e9, 2),
+                'hbm_util': round(bytes_per_step / step_time
+                                  / V5E_HBM_BYTES_PER_SEC, 4),
+            })
+            sol = max(flops_per_step / V5E_BF16_PEAK_FLOPS,
+                      bytes_per_step / V5E_HBM_BYTES_PER_SEC)
+            extras.update({
+                'sol_ms_per_step': round(1000.0 * sol, 2),
+                'roofline_fraction': round(sol / step_time, 4),
+                'ref_basis': 'roofline(max(flops/197e12, bytes/819e9))',
+            })
+    if 'roofline_fraction' not in extras:
+        extras['ref_basis'] = 'constant'
+    return value, extras
 
 
 def bench_train_e2e(batch, precision, n_iters=10, dataroot=None):
@@ -196,11 +253,12 @@ def main():
                              'folded serving graph)')
     args = parser.parse_args()
 
+    extras = {}
     if args.mode == 'train':
         batch = args.batch or 3
         precision = args.precision or 16
-        value = bench_train(batch, precision, args.iters)
-        ref = ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC
+        value, extras = bench_train(batch, precision, args.iters)
+        ref = None  # vs_baseline = roofline fraction (see module docstring)
         metric = 'baseline_train_clips_per_sec_per_chip'
     elif args.mode == 'train-e2e':
         batch = args.batch or 3
@@ -223,11 +281,17 @@ def main():
         ref = ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC
         metric = 'baseline_eval_clips_per_sec_per_chip'
 
+    if ref is None:
+        vs = extras.get('roofline_fraction',
+                        round(value / ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC, 4))
+    else:
+        vs = round(value / ref, 4)
     print(json.dumps({
         'metric': metric,
         'value': round(value, 4),
         'unit': 'clips/s',
-        'vs_baseline': round(value / ref, 4),
+        'vs_baseline': vs,
+        **extras,
     }))
 
 

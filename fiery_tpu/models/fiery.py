@@ -80,6 +80,10 @@ class FieryConfig:
     probabilistic_future_dim: int = 6
     precision: int = 32   # 16 -> bf16 compute (params stay f32; BN stats f32)
     remat_lift: bool = True   # rematerialise encoder+splat in backward (saves ~3 GB)
+    # static per-camera kept depth-plane counts (ops/lift_splat.py
+    # compute_depth_plane_keep); None = splat every plane. Set via
+    # Trainer(cfg, depth_keep=...) when cfg.LIFT.DEPTH_CULL is on.
+    depth_keep: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
         H, W = self.final_dim
@@ -191,7 +195,8 @@ class BEVLift(nn.Module):
         feats = encoder(images.reshape(bs * n, *images.shape[2:]), train)
         feats = feats.reshape(bs, n, *feats.shape[1:])       # (b*s, n, h, w, D, C)
         res, start, dim = c.bev_parameters
-        return lift_splat(feats, geometry.astype(feats.dtype), res, start, dim)
+        return lift_splat(feats, geometry.astype(feats.dtype), res, start, dim,
+                          depth_keep=c.depth_keep)
 
 
 class Fiery(nn.Module):

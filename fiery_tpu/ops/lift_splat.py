@@ -119,13 +119,22 @@ def _sorted_splat_bwd(num_bins, ids, g):
 _sorted_splat.defvjp(_sorted_splat_fwd, _sorted_splat_bwd)
 
 
-def lift_splat(features, geometry, bev_resolution, bev_start_position, bev_dimension):
+def lift_splat(features, geometry, bev_resolution, bev_start_position, bev_dimension,
+               depth_keep=None):
     """Full splat: (B, N, h, w, D, C) point features + (B, N, D, h, w, 3) geometry -> (B, X, Y, C).
 
     features keep the encoder's natural (h, w, D, C) memory order: segment_sum does not
     care about point order, so instead of transposing the ~half-GB lifted feature volume
     to the reference's (D, h, w) convention (a materialised planar transpose on TPU), the
     tiny int32 id tensor from geometry is reordered to match the feature layout.
+
+    depth_keep: optional static per-camera keep counts (N,) from
+    ``compute_depth_plane_keep``: only the first ``depth_keep[n]`` depth planes of
+    camera n enter the splat (the culled far planes are provably out-of-bounds for
+    every pose in the calibration envelope, so they would all land in the dump
+    bin). Row count — not bytes — is the splat wall on TPU (~50-60M rows/s), so
+    static plane culling is a direct speedup on small BEV grids (fishing/pon
+    settings cull 72%/13% of rows; the 100x100 baseline culls ~0 — measured).
     """
     C = features.shape[-1]
     dim = np.asarray(bev_dimension)
@@ -133,11 +142,82 @@ def lift_splat(features, geometry, bev_resolution, bev_start_position, bev_dimen
     ids = voxel_ids(geometry, bev_resolution, bev_start_position, bev_dimension)
     ids = jnp.moveaxis(ids, 2, 4)  # (B, N, D, h, w) -> (B, N, h, w, D)
 
+    if depth_keep is None:
+        def per_sample(feat_b, ids_b):
+            dense = _sorted_splat(feat_b.reshape(-1, C), ids_b.reshape(-1), X * Y * Z)
+            return dense.reshape(X, Y, Z, C).sum(axis=2)
+
+        return jax.vmap(per_sample)(features, ids)
+
+    depth_keep = tuple(int(k) for k in depth_keep)
+    assert len(depth_keep) == features.shape[1], (depth_keep, features.shape)
+
     def per_sample(feat_b, ids_b):
-        dense = _sorted_splat(feat_b.reshape(-1, C), ids_b.reshape(-1), X * Y * Z)
+        # one segment-sum per camera over its kept depth planes (static slices —
+        # no row gather), summed into the dense grid
+        dense = None
+        for n, k in enumerate(depth_keep):
+            f = feat_b[n, :, :, :k, :].reshape(-1, C)
+            i = ids_b[n, :, :, :k].reshape(-1)
+            d = _sorted_splat(f, i, X * Y * Z)
+            dense = d if dense is None else dense + d
         return dense.reshape(X, Y, Z, C).sum(axis=2)
 
     return jax.vmap(per_sample)(features, ids)
+
+
+def compute_depth_plane_keep(frustum, intrinsics, extrinsics,
+                             bev_resolution, bev_start_position, bev_dimension,
+                             t_margin=0.5, rot_margin_deg=2.0):
+    """Per-camera KEEP count of leading depth planes (static far-plane culling).
+
+    Host-side (numpy) analysis over OBSERVED calibrations: a depth plane of
+    camera n is cullable when, for every observed pose, every point of the plane
+    lies outside the XY BEV box inflated by a soundness slack
+    ``t_margin + d_cam * sin(rot_margin)`` (d_cam = distance from the camera
+    origin — the bound on how far a point can move under any pose within the
+    margin envelope of an observed pose). Only a contiguous far range is culled.
+    The reference masks these points dynamically per step
+    (/root/reference/fiery/models/fiery.py:240-247); here they are removed from
+    the graph statically.
+
+    frustum: (D, h, w, 3); intrinsics/extrinsics: (..., N, 3, 3)/(..., N, 4, 4)
+    over any number of observed frames. Returns np.int32 (N,) keep counts.
+    """
+    frustum = np.asarray(frustum)
+    intr = np.asarray(intrinsics, np.float64).reshape(-1, *intrinsics.shape[-3:])
+    extr = np.asarray(extrinsics, np.float64).reshape(-1, *extrinsics.shape[-3:])
+    n_obs, N = intr.shape[0], intr.shape[1]
+    D = frustum.shape[0]
+    res = np.asarray(bev_resolution, np.float64)
+    start = np.asarray(bev_start_position, np.float64)
+    dim = np.asarray(bev_dimension)
+    # XY box covered by bins [0, dim): trunc-cast semantics of voxel_ids mean
+    # coords in [start - res/2 - res, start - res/2 + dim*res) can land in-bounds
+    # (trunc sends (-1, 0) fractional bins to 0); widen by one res to be safe.
+    lo = start[:2] - res[:2] / 2.0 - res[:2]
+    hi = start[:2] - res[:2] / 2.0 + dim[:2] * res[:2] + res[:2]
+
+    points = np.concatenate(
+        [frustum[..., :2] * frustum[..., 2:3], frustum[..., 2:3]], axis=-1)
+    rot_sin = np.sin(np.radians(rot_margin_deg))
+
+    keep = np.zeros((N,), np.int32)
+    for n in range(N):
+        needed = np.zeros((D,), bool)
+        for o in range(n_obs):
+            R = extr[o, n, :3, :3]
+            t = extr[o, n, :3, 3]
+            combined = R @ np.linalg.inv(intr[o, n])
+            pts = np.einsum('ij,dhwj->dhwi', combined, points) + t  # (D,h,w,3)
+            d_cam = np.linalg.norm(pts - t, axis=-1)
+            slack = t_margin + d_cam * rot_sin
+            inside = ((pts[..., 0] > lo[0] - slack) & (pts[..., 0] < hi[0] + slack)
+                      & (pts[..., 1] > lo[1] - slack) & (pts[..., 1] < hi[1] + slack))
+            needed |= inside.any(axis=(1, 2))
+        # contiguous far cull: keep through the last needed plane
+        keep[n] = int(np.max(np.nonzero(needed)[0])) + 1 if needed.any() else 1
+    return keep
 
 
 def depth_feature_outer_product(x, D, C):

@@ -33,9 +33,13 @@ class TrainState:
 class Trainer:
     """Owns the model, optimizer and the pure step functions."""
 
-    def __init__(self, cfg):
+    def __init__(self, cfg, depth_keep=None):
         self.cfg = cfg
         self.model_cfg = FieryConfig.from_cfg(cfg)
+        if depth_keep is not None:
+            import dataclasses
+            self.model_cfg = dataclasses.replace(
+                self.model_cfg, depth_keep=tuple(int(k) for k in depth_keep))
         self.model = Fiery(cfg=self.model_cfg)
         self.spatial_extent = self.model_cfg.spatial_extent
         self.receptive_field = self.model_cfg.receptive_field

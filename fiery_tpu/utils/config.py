@@ -244,6 +244,12 @@ _C.LIFT.X_BOUND = [-50.0, 50.0, 0.5]   # forward
 _C.LIFT.Y_BOUND = [-50.0, 50.0, 0.5]   # sides
 _C.LIFT.Z_BOUND = [-10.0, 10.0, 20.0]  # height
 _C.LIFT.D_BOUND = [2.0, 50.0, 1.0]
+# static far-depth-plane culling of provably-out-of-bounds splat rows
+# (ops/lift_splat.py compute_depth_plane_keep; big win on small BEV grids —
+# fishing/pon cull ~72%/13% of rows; the 100x100 baseline culls ~0)
+_C.LIFT.DEPTH_CULL = False
+_C.LIFT.CULL_T_MARGIN = 0.5      # metres of translation slack in the envelope
+_C.LIFT.CULL_ROT_MARGIN = 2.0    # degrees of rotation slack
 
 _C.MODEL = CN()
 _C.MODEL.ENCODER = CN()

@@ -117,3 +117,85 @@ def test_depth_feature_outer_product():
     np.testing.assert_allclose(out, expected, atol=1e-5)
     # depth distribution sums to 1 over D
     np.testing.assert_allclose(out.sum(3), depth.sum(-1)[..., None] * feat, atol=1e-5)
+
+
+def _nuscenes_like_rig(n_frames=2, jitter=0.0, seed=0):
+    """6-camera rig: rotations/translations like the nuScenes sensor layout."""
+    rng = np.random.RandomState(seed)
+    base = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float)
+    yaws = [55, 0, -55, 110, 180, -110]
+    trans = [[1.5, 0.5, 1.5], [1.7, 0.0, 1.5], [1.5, -0.5, 1.5],
+             [1.0, 0.5, 1.5], [0.0, 0.0, 1.5], [1.0, -0.5, 1.5]]
+    K = np.array([[380.0, 0, 240], [0, 380.0, 110], [0, 0, 1]], np.float32)
+    intr = np.zeros((n_frames, 6, 3, 3), np.float32)
+    extr = np.zeros((n_frames, 6, 4, 4), np.float32)
+    for f in range(n_frames):
+        for n, (yaw, t) in enumerate(zip(yaws, trans)):
+            a = np.radians(yaw + jitter * rng.randn())
+            c, s = np.cos(a), np.sin(a)
+            rotz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+            E = np.eye(4, dtype=np.float32)
+            E[:3, :3] = rotz @ base
+            E[:3, 3] = np.asarray(t) + jitter * rng.randn(3) * 0.1
+            intr[f, n] = K
+            extr[f, n] = E
+    return intr, extr
+
+
+def test_depth_plane_cull_small_grid_counts():
+    """Fishing-like small grid: most far depth planes are provably OOB; the
+    100x100 baseline grid culls (almost) nothing — the measured refutation."""
+    frustum = LS.create_frustum((224, 480), 8, (2.0, 50.0, 1.0))
+    intr, extr = _nuscenes_like_rig(n_frames=3, jitter=0.5, seed=1)
+
+    res, start, dim = (np.asarray(x) for x in
+                       calculate_birds_eye_view_parameters(
+                           [-9.6, 9.6, 0.1], [-16.0, 16.0, 0.1],
+                           [-10.0, 10.0, 20.0]))
+    keep_small = LS.compute_depth_plane_keep(frustum, intr, extr,
+                                             res, start, dim)
+    assert (keep_small < 30).all(), keep_small   # most of 48 planes culled
+    assert (keep_small >= 5).all(), keep_small   # near planes always kept
+
+    res, start, dim = (np.asarray(x) for x in
+                       calculate_birds_eye_view_parameters(
+                           [-50.0, 50.0, 0.5], [-50.0, 50.0, 0.5],
+                           [-10.0, 10.0, 20.0]))
+    keep_big = LS.compute_depth_plane_keep(frustum, intr, extr, res, start, dim)
+    assert (keep_big >= 46).all(), keep_big      # ~nothing cullable at 100x100
+
+
+def test_depth_plane_cull_exact_splat():
+    """Culled splat == full splat (forward AND gradient) for poses inside the
+    envelope, on a small grid where ~2/3 of the planes are culled."""
+    frustum = LS.create_frustum((64, 96), 8, (2.0, 26.0, 1.0))
+    intr, extr = _nuscenes_like_rig(n_frames=2, jitter=0.3, seed=2)
+    K = np.array([[76.0, 0, 48], [0, 76.0, 30], [0, 0, 1]], np.float32)
+    intr[..., :, :] = K
+    res, start, dim = (np.asarray(x) for x in
+                       calculate_birds_eye_view_parameters(
+                           [-8.0, 8.0, 0.5], [-8.0, 8.0, 0.5],
+                           [-10.0, 10.0, 20.0]))
+    keep = LS.compute_depth_plane_keep(frustum, intr, extr, res, start, dim)
+    assert keep.sum() < 0.8 * 24 * 6, keep       # real culling happened
+
+    geometry = LS.get_geometry(jnp.asarray(frustum), jnp.asarray(intr),
+                               jnp.asarray(extr))            # (2, 6, D, h, w, 3)
+    rng = np.random.RandomState(3)
+    D, h, w = frustum.shape[0], 64 // 8, 96 // 8
+    feats = jnp.asarray(rng.rand(2, 6, h, w, D, 5).astype(np.float32))
+
+    def full(f):
+        return LS.lift_splat(f, geometry, res, start, dim)
+
+    def culled(f):
+        return LS.lift_splat(f, geometry, res, start, dim, depth_keep=tuple(keep))
+
+    out_full, vjp_full = jax.vjp(full, feats)
+    out_cull, vjp_cull = jax.vjp(culled, feats)
+    np.testing.assert_allclose(np.asarray(out_cull), np.asarray(out_full),
+                               rtol=1e-5, atol=1e-5)
+    ct = jnp.asarray(rng.rand(*out_full.shape).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(vjp_cull(ct)[0]),
+                               np.asarray(vjp_full(ct)[0]),
+                               rtol=1e-5, atol=1e-5)

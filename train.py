@@ -105,7 +105,35 @@ def main():
     trainloader, valloader = prepare_dataloaders(
         cfg, batch_size=per_host_batch,
         process_index=jax.process_index(), process_count=process_count)
-    trainer = Trainer(cfg)
+
+    depth_keep = None
+    if cfg.LIFT.DEPTH_CULL:
+        # peek one batch for the calibration envelope, then statically cull
+        # provably-out-of-bounds far depth planes from the splat
+        from fiery_tpu.ops.lift_splat import (compute_depth_plane_keep,
+                                              create_frustum)
+        from fiery_tpu.utils.geometry import calculate_birds_eye_view_parameters
+        peek = None
+        for batch_np in trainloader:
+            peek = numeric_batch(batch_np)
+            break
+        assert peek is not None, 'empty training dataset'
+        frustum = create_frustum(cfg.IMAGE.FINAL_DIM,
+                                 cfg.MODEL.ENCODER.DOWNSAMPLE, cfg.LIFT.D_BOUND)
+        res, start, dim = calculate_birds_eye_view_parameters(
+            cfg.LIFT.X_BOUND, cfg.LIFT.Y_BOUND, cfg.LIFT.Z_BOUND)
+        depth_keep = compute_depth_plane_keep(
+            frustum, peek['intrinsics'], peek['extrinsics'],
+            np.asarray(res), np.asarray(start), np.asarray(dim),
+            t_margin=cfg.LIFT.CULL_T_MARGIN,
+            rot_margin_deg=cfg.LIFT.CULL_ROT_MARGIN)
+        D = frustum.shape[0]
+        print(f'depth-plane cull: keep {[int(k) for k in depth_keep]} of {D} '
+              f'planes/camera '
+              f'({100 * (1 - depth_keep.sum() / (D * len(depth_keep))):.0f}% of '
+              f'splat rows culled)')
+
+    trainer = Trainer(cfg, depth_keep=depth_keep)
 
     save_dir = os.path.join(
         cfg.LOG_DIR, time.strftime('%d%B%Y_%H%M') + '_' + socket.gethostname()

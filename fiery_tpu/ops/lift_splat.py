@@ -10,11 +10,21 @@ gather-diff) with a custom VJP whose backward is a single gather — see _sorted
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+
+def _splat_accum_dtype():
+    """Trace-time dtype choice for the segment-sum accumulation.
+
+    FIERY_SPLAT_F32=1 casts splat rows to f32 for the scatter (and back after):
+    an A/B knob for the observed asymmetry between the bf16 scatter rate
+    (~31M rows/s) and the row-transaction floor (~55M rows/s)."""
+    return jnp.float32 if os.environ.get('FIERY_SPLAT_F32', '0') == '1' else None
 
 
 def create_frustum(final_dim, downsample, d_bound):
@@ -142,9 +152,16 @@ def lift_splat(features, geometry, bev_resolution, bev_start_position, bev_dimen
     ids = voxel_ids(geometry, bev_resolution, bev_start_position, bev_dimension)
     ids = jnp.moveaxis(ids, 2, 4)  # (B, N, D, h, w) -> (B, N, h, w, D)
 
+    accum = _splat_accum_dtype()
+
     if depth_keep is None:
         def per_sample(feat_b, ids_b):
-            dense = _sorted_splat(feat_b.reshape(-1, C), ids_b.reshape(-1), X * Y * Z)
+            f = feat_b.reshape(-1, C)
+            if accum is not None and f.dtype != accum:
+                dense = _sorted_splat(f.astype(accum), ids_b.reshape(-1),
+                                      X * Y * Z).astype(f.dtype)
+            else:
+                dense = _sorted_splat(f, ids_b.reshape(-1), X * Y * Z)
             return dense.reshape(X, Y, Z, C).sum(axis=2)
 
         return jax.vmap(per_sample)(features, ids)

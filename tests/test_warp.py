@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 import torch
 import torch.nn.functional as F
+import jax
 import jax.numpy as jnp
 
 from fiery_tpu.ops import warp as W
@@ -117,3 +118,31 @@ def test_warp_identity():
     flow = jnp.zeros((1, 6))
     out = W.warp_features(x, flow, mode='bilinear', spatial_extent=(8.0, 8.0))
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_patch_gather_matches_four_tap_and_grad(monkeypatch):
+    """The 2x2-patch-gather bilinear path == the 4-tap path, values AND
+    gradients (the backward becomes a single patch scatter-add), including
+    points far outside the image (zero padding)."""
+    import fiery_tpu.ops.warp as W
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(13, 17, 5).astype(np.float32))
+    # grid spanning far out of range on purpose
+    grid = jnp.asarray((rng.rand(9, 11, 2).astype(np.float32) * 4.0 - 2.0))
+
+    def run():
+        def f(im):
+            return W.grid_sample_2d(im, grid, mode='bilinear')
+        out, vjp = jax.vjp(f, img)
+        ct = jnp.asarray(rng.rand(*out.shape).astype(np.float32))
+        return np.asarray(out), np.asarray(vjp(ct)[0])
+
+    monkeypatch.setenv('FIERY_PATCH_WARP', '0')
+    rng = np.random.RandomState(1)
+    out4, g4 = run()
+    monkeypatch.setenv('FIERY_PATCH_WARP', '1')
+    rng = np.random.RandomState(1)
+    outp, gp = run()
+    np.testing.assert_allclose(outp, out4, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(gp, g4, rtol=1e-6, atol=1e-6)

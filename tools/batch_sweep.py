@@ -1,4 +1,8 @@
 """Batch-size sweep of the train step (one process, sequential compiles)."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

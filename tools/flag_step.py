@@ -1,5 +1,9 @@
 """Time the full train step with whatever XLA_FLAGS the environment carries."""
 import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import os
 import time
 
 import jax

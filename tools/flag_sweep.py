@@ -1,4 +1,8 @@
 """Sweep TPU compiler options on the full train step (one process)."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

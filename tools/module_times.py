@@ -1,4 +1,8 @@
 """Per-module fwd / fwd+bwd timings for the post-lift stack at baseline shapes."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

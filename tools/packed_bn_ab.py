@@ -1,4 +1,8 @@
 """A/B: FIERY_PACKED_BN on/off for future_prediction fwd+bwd and the full train step."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import os, time
 import jax
 import jax.numpy as jnp

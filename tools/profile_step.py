@@ -1,4 +1,8 @@
 """Profile the baseline bf16 batch-3 train step on the real TPU; print op table."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax
@@ -16,12 +20,22 @@ trainer = Trainer(cfg)
 ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
 b = {k: jnp.asarray(v) for k, v in ds.get_batch(list(range(batch))).items()}
 state = jax.jit(trainer.init_state)(jax.random.key(0), b)
-step = jax.jit(trainer.train_step, donate_argnums=(0,))
 rng = jax.random.key(1)
+t0 = time.time()
+# AOT compile once: the executable serves the loop AND provides the optimized
+# HLO text so trace fusions can be attributed to source modules/shapes
+step = jax.jit(trainer.train_step, donate_argnums=(0,)).lower(
+    state, b, rng).compile()
+print(f'compile: {time.time()-t0:.1f}s', flush=True)
+import os as _os
+_os.makedirs('/tmp/trace_r2', exist_ok=True)
+with open('/tmp/trace_r2/hlo.txt', 'w') as f:
+    f.write(step.as_text())
+print('dumped optimized HLO', flush=True)
 t0 = time.time()
 state, metrics = step(state, b, rng)
 jax.block_until_ready(state)
-print(f'compile+first step: {time.time()-t0:.1f}s', flush=True)
+print(f'first step: {time.time()-t0:.1f}s', flush=True)
 
 # warm + time
 t0 = time.time()

@@ -1,4 +1,8 @@
 """Honest per-stage timing of the baseline bf16 batch-3 train step (steady state)."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

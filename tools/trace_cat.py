@@ -1,4 +1,8 @@
 """Categorise TPU-plane op durations from the captured trace into buckets."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import collections
 import re
 import sys

@@ -26,13 +26,15 @@ from fiery_tpu.utils.geometry import (
 
 def _patch_warp_enabled():
     """Bilinear sampling via ONE 2x2-patch gather per point instead of four
-    separate corner gathers. The BEV warp gathers are transaction-bound on TPU
-    (~34M rows/s regardless of row bytes — four ~7 ms tap fusions per warp in
-    the step trace), so paying one transaction for the 2x2 window quarters the
-    gather cost; the backward becomes one patch scatter-add likewise. Exact
-    same math (torch grid_sample parity tests cover this path).
-    FIERY_PATCH_WARP=0 restores the 4-tap formulation (A/B)."""
-    return os.environ.get('FIERY_PATCH_WARP', '1') == '1'
+    separate corner gathers (exact same math; covered by the torch parity
+    tests). MEASURED DEAD END on TPU — default OFF: the hypothesis was that the
+    transaction-bound tap gathers (~34M rows/s, four ~7 ms fusions per warp)
+    would collapse into one transaction per point, but slice_sizes=(2,2,C)
+    windows lower to something far worse — the full train step measured
+    1450 ms vs 488 ms (3x slower). XLA's row gather is only fast for
+    single-row slices. FIERY_PATCH_WARP=1 re-enables for future re-measurement
+    on other hardware/compiler versions."""
+    return os.environ.get('FIERY_PATCH_WARP', '0') == '1'
 
 
 def grid_sample_2d(image, grid, mode='bilinear'):

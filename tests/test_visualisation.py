@@ -45,6 +45,37 @@ def test_plot_instance_map_and_contour():
     assert (framed[0, :] == 0).all() and (framed[:, -1] == 0).all()
 
 
+def test_plot_prediction_panel_layout():
+    """visualise.py's figure: 2x4 GridSpec, annotated cameras, BEV right column.
+
+    Mirrors the reference panel (/root/reference/visualise.py:45-77); checks the
+    figure renders at the reference aspect (4*val_w x 2*val_w*ratio at 100 dpi).
+    """
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import visualise as vis_entry
+    from fiery_tpu.utils.config import get_cfg
+
+    cfg = get_cfg(cfg_dict={'INSTANCE_FLOW': {'ENABLED': True}})
+    rng = np.random.RandomState(0)
+    b, s, n, h, w = 1, 3, 6, 16, 16
+    ih, iw = 32, 64
+    image = rng.randint(0, 255, (b, s, n, ih, iw, 3)).astype(np.uint8)
+    output = {
+        'segmentation': jnp.asarray(rng.randn(b, s, h, w, 2).astype(np.float32)),
+        'instance_center': jnp.asarray(rng.rand(b, s, h, w, 1).astype(np.float32)),
+        'instance_offset': jnp.asarray(rng.randn(b, s, h, w, 2).astype(np.float32)),
+        'instance_flow': jnp.asarray(rng.randn(b, s, h, w, 2).astype(np.float32)),
+    }
+    fig_np = vis_entry.plot_prediction(image, output, cfg)
+    assert fig_np.dtype == np.uint8 and fig_np.ndim == 3 and fig_np.shape[-1] == 3
+    val_w = 2.99
+    ratio = cfg.IMAGE.FINAL_DIM[0] / cfg.IMAGE.FINAL_DIM[1]
+    assert fig_np.shape[1] == int(4 * val_w * 100)
+    assert fig_np.shape[0] == int(round(2 * val_w * ratio * 100))
+
+
 def test_visualise_output_panel():
     from fiery_tpu.utils.config import get_cfg
     cfg = get_cfg(cfg_dict={'INSTANCE_FLOW': {'ENABLED': True}})

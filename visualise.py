@@ -62,12 +62,21 @@ def plot_prediction(image, output, cfg):
     mask = ~np.all(trajectory_img == 0, axis=2)
     vis_image[mask] = temp_img[mask]
 
-    # camera grid (first frame of the receptive field end = present)
-    fig = plt.figure(figsize=(13, 7))
+    # Camera grid, reference layout (visualise.py:45-72): a 2x4 GridSpec with
+    # cameras 0-2 on the top row, 3-5 mirrored on the bottom row, and the BEV
+    # panel spanning the right column; per-camera name annotations.
+    val_w = 2.99
+    cameras = list(getattr(cfg.IMAGE, 'NAMES', []))
+    image_ratio = cfg.IMAGE.FINAL_DIM[0] / cfg.IMAGE.FINAL_DIM[1]
+    val_h = val_w * image_ratio
+    fig = plt.figure(figsize=(4 * val_w, 2 * val_h))
+    gs = matplotlib.gridspec.GridSpec(2, 4, width_ratios=(val_w,) * 4)
+    gs.update(wspace=0.0, hspace=0.0, left=0.0, right=1.0, top=1.0, bottom=0.0)
+
     n_cams = image.shape[2]
     present = min(cfg.TIME_RECEPTIVE_FIELD, image.shape[1]) - 1
     for i in range(min(6, n_cams)):
-        ax = fig.add_subplot(3, 3, i + 1 if i < 3 else i + 4)
+        ax = fig.add_subplot(gs[i // 3, i % 3])
         img = np.asarray(image[0, present, i])
         if img.dtype == np.uint8:      # loaders now ship RAW uint8 frames
             img = img.astype(np.float64) / 255.0
@@ -75,12 +84,15 @@ def plot_prediction(image, output, cfg):
             img = np.clip(img * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
         if i >= 3:
             img = img[:, ::-1]
+        if i < len(cameras):
+            ax.annotate(cameras[i].replace('_', ' ').replace('CAM ', ''),
+                        (0.01, 0.87), c='white', xycoords='axes fraction',
+                        fontsize=14)
         ax.imshow(img)
         ax.axis('off')
-    ax = fig.add_subplot(3, 3, (5, 6))
+    ax = fig.add_subplot(gs[:, 3])
     ax.imshow(make_contour(vis_image[::-1, ::-1]))
     ax.axis('off')
-    plt.subplots_adjust(wspace=0, hspace=0)
     out = convert_figure_numpy(fig)
     plt.close(fig)
     return out

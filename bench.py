@@ -64,6 +64,7 @@ def bench_eval(batch, precision, n_iters=10, fold_bn=True):
         from fiery_tpu.utils.bn_fold import make_serving_fn
         serve, variables = make_serving_fn(model, jax.device_get(variables),
                                            args + (None,))
+        variables = jax.device_put(variables)   # numpy args would re-upload per call
         fn = jax.jit(lambda v, *a: serve(v, *a, None))
     else:
         fn = jax.jit(lambda v, *a: model.apply(v, *a, None, train=False))
@@ -102,6 +103,7 @@ def bench_eval_e2e(batch, precision, n_iters=10, fold_bn=True):
         from fiery_tpu.utils.bn_fold import make_serving_fn
         serve, variables = make_serving_fn(model, jax.device_get(variables),
                                            args + (None,))
+        variables = jax.device_put(variables)   # numpy args would re-upload per call
     else:
         def serve(v, *a):
             return model.apply(v, *a, train=False)
@@ -125,7 +127,7 @@ def bench_eval_e2e(batch, precision, n_iters=10, fold_bn=True):
     return n_iters * batch / (time.perf_counter() - start)
 
 
-def bench_train(batch, precision, n_iters=10):
+def bench_train(batch, precision, n_iters=10, topk=0):
     import jax
     import jax.numpy as jnp
     from fiery_tpu.utils.config import get_cfg
@@ -133,7 +135,7 @@ def bench_train(batch, precision, n_iters=10):
     from fiery_tpu.data.synthetic import SyntheticFutureDataset
 
     cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision,
-                            'BATCHSIZE': batch})
+                            'BATCHSIZE': batch, 'LIFT': {'TOPK': topk}})
     trainer = Trainer(cfg)
     ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
     b = {k: jnp.asarray(v) for k, v in ds.get_batch(list(range(batch))).items()}
@@ -239,13 +241,113 @@ def bench_train_e2e(batch, precision, n_iters=10, dataroot=None):
     return n_done * batch / (time.perf_counter() - start)
 
 
+def bench_dp(n_devices, n_iters=3):
+    """GSPMD regression canary: compile + run the sharded train step on an
+    n-device virtual CPU mesh (tiny shapes) and report the collective-op census
+    of the optimized HLO plus step wall time.
+
+    Single chip is all this host has, so this mode can't measure real scaling —
+    but a layout regression (e.g. a resharding all-to-all appearing at the
+    camera gather, or per-parameter all-reduces multiplying) shows up as a
+    collective-count/HLO-size jump, caught here before real-pod time is spent.
+    Re-execs a subprocess to force the CPU platform (sitecustomize pins axon).
+    """
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    xla = env.get('XLA_FLAGS', '')
+    env['XLA_FLAGS'] = (
+        f'--xla_force_host_platform_device_count={n_devices} ' + xla).strip()
+    parts = [repo, '/root/.axon_site'] + (
+        [env['PYTHONPATH']] if env.get('PYTHONPATH') else [])
+    env['PYTHONPATH'] = ':'.join(parts)
+    code = (
+        'import jax\n'
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        'import bench\n'
+        f'bench._bench_dp_impl({int(n_devices)}, {int(n_iters)})\n'
+    )
+    out = subprocess.run([sys.executable, '-c', code], env=env, cwd=repo,
+                         capture_output=True, text=True)
+    if out.returncode != 0:
+        raise RuntimeError(f'dp bench subprocess failed:\n{out.stderr[-2000:]}')
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _bench_dp_impl(n_devices, n_iters):
+    """Subprocess body for --mode dp (assumes CPU platform, n virtual devices)."""
+    import jax
+    import jax.numpy as jnp
+    from fiery_tpu.utils.config import get_cfg
+    from fiery_tpu.data.synthetic import SyntheticFutureDataset
+    from fiery_tpu.training.trainer import Trainer
+    from fiery_tpu.parallel.mesh import (
+        create_mesh, make_parallel_train_step, shard_batch)
+
+    n_model = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    n_batch = max(1, n_devices // n_model)
+    cfg = get_cfg(cfg_dict={
+        'TIME_RECEPTIVE_FIELD': 2, 'N_FUTURE_FRAMES': 1,
+        'BATCHSIZE': n_batch,
+        'IMAGE': {'FINAL_DIM': (16, 32), 'NAMES': ['CAM_A', 'CAM_B']},
+        'LIFT': {'X_BOUND': [-4.0, 4.0, 0.5], 'Y_BOUND': [-4.0, 4.0, 0.5],
+                 'D_BOUND': [2.0, 4.0, 1.0]},
+        'MODEL': {'ENCODER': {'NAME': 'efficientnet-b0', 'OUT_CHANNELS': 8},
+                  'TEMPORAL_MODEL': {'START_OUT_CHANNELS': 8},
+                  'DISTRIBUTION': {'LATENT_DIM': 2},
+                  'FUTURE_PRED': {'N_GRU_BLOCKS': 1, 'N_RES_LAYERS': 1}},
+    })
+    dataset = SyntheticFutureDataset(cfg, n_samples=n_batch, n_instances=1, seed=0)
+    trainer = Trainer(cfg)
+    batch = {k: jnp.asarray(v) for k, v in
+             dataset.get_batch(list(range(n_batch))).items()}
+    mesh = create_mesh(n_devices, n_model=n_model)
+    state = jax.jit(trainer.init_state)(jax.random.key(0), batch)
+    sharded = shard_batch(batch, mesh)
+    rng = jax.random.key(1)
+
+    compiled = make_parallel_train_step(trainer, mesh).lower(
+        state, sharded, rng).compile()
+    hlo = compiled.as_text()
+    census = {name: hlo.count(f' {name}(') + hlo.count(f' {name}-start(')
+              for name in ('all-reduce', 'all-gather', 'reduce-scatter',
+                           'all-to-all', 'collective-permute')}
+
+    new_state, metrics = compiled(state, sharded, rng)
+    jax.block_until_ready(new_state)
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        new_state, metrics = compiled(new_state, sharded, rng)
+    jax.block_until_ready(new_state)
+    step_ms = 1000.0 * (time.perf_counter() - start) / n_iters
+    total = float(metrics['total_loss'])
+    assert total == total, 'non-finite loss in dp bench'
+    print(json.dumps({
+        'n_devices': n_devices,
+        'mesh': dict(zip(mesh.axis_names,
+                         [int(d) for d in mesh.devices.shape])),
+        'collectives': census,
+        'hlo_bytes': len(hlo),
+        'cpu_step_ms': round(step_ms, 2),
+        'total_loss': round(total, 4),
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--mode', default='train',
-                        choices=['train', 'eval', 'eval-e2e', 'train-e2e'])
+                        choices=['train', 'eval', 'eval-e2e', 'train-e2e', 'dp'])
     parser.add_argument('--dataroot', default=None, type=str,
                         help='train-e2e only: nuScenes dataroot (default synthetic)')
     parser.add_argument('--batch', default=None, type=int)
+    parser.add_argument('--devices', default=8, type=int,
+                        help='dp mode: virtual CPU mesh size')
+    parser.add_argument('--topk', default=0, type=int,
+                        help='train mode: LIFT.TOPK sparse-splat depth bins '
+                             '(0 = dense exact splat; headline protocol)')
     parser.add_argument('--precision', default=None, type=int, choices=[16, 32])
     parser.add_argument('--iters', default=10, type=int)
     parser.add_argument('--no-fold-bn', action='store_true',
@@ -257,15 +359,28 @@ def main():
     if args.mode == 'train':
         batch = args.batch or 3
         precision = args.precision or 16
-        value, extras = bench_train(batch, precision, args.iters)
+        value, extras = bench_train(batch, precision, args.iters, args.topk)
         ref = None  # vs_baseline = roofline fraction (see module docstring)
         metric = 'baseline_train_clips_per_sec_per_chip'
+        if args.topk:
+            metric = f'topk{args.topk}_train_clips_per_sec_per_chip'
     elif args.mode == 'train-e2e':
         batch = args.batch or 3
         precision = args.precision or 16
         value = bench_train_e2e(batch, precision, args.iters, args.dataroot)
         ref = ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC
         metric = 'baseline_train_e2e_clips_per_sec_per_chip'
+    elif args.mode == 'dp':
+        info = bench_dp(args.devices, max(1, args.iters // 3))
+        total = sum(info['collectives'].values())
+        print(json.dumps({
+            'metric': 'dp_virtual_mesh_collective_ops',
+            'value': total,
+            'unit': 'collectives/step',
+            'vs_baseline': 1.0,
+            **info,
+        }))
+        return
     elif args.mode == 'eval-e2e':
         batch = args.batch or 1
         precision = args.precision or 32

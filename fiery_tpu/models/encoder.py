@@ -9,6 +9,7 @@ materialising the reference's (C, D, h, w) permute).
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from fiery_tpu.models.efficientnet import EfficientNetFPN
@@ -26,7 +27,10 @@ class Encoder(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, split_depth: bool = False):
+        """split_depth=True returns (depth_softmax (B,h,w,D), features (B,h,w,C))
+        instead of the dense outer-product volume — the sparse top-k splat
+        (ops/lift_splat.py lift_splat_topk) selects depth bins before lifting."""
         C, D = self.out_channels, self.depth_channels
         feat_hi, feat_lo = EfficientNetFPN(
             version=self.version, downsample=self.downsample,
@@ -40,6 +44,10 @@ class Encoder(nn.Module):
                     name='depth_layer', dtype=self.dtype)(x)
 
         if self.use_depth_distribution:
+            if split_depth:
+                return jax.nn.softmax(x[..., :D], axis=-1), x[..., D:D + C]
             return depth_feature_outer_product(x, D, C)   # (B, h, w, D, C)
+        if split_depth:
+            return (jnp.full((*x.shape[:-1], D), 1.0, x.dtype), x)
         # no depth distribution: replicate features along D (encoder.py:102)
         return jnp.broadcast_to(x[..., None, :], (*x.shape[:-1], D, x.shape[-1]))

@@ -32,7 +32,8 @@ from fiery_tpu.models.temporal_model import (
     TemporalModelIdentity,
     temporal_out_channels,
 )
-from fiery_tpu.ops.lift_splat import create_frustum, get_geometry, lift_splat
+from fiery_tpu.ops.lift_splat import (
+    create_frustum, get_geometry, lift_splat, lift_splat_topk)
 from fiery_tpu.ops.warp import cumulative_warp_features
 from fiery_tpu.utils.geometry import (
     calculate_birds_eye_view_parameters,
@@ -84,6 +85,9 @@ class FieryConfig:
     # compute_depth_plane_keep); None = splat every plane. Set via
     # Trainer(cfg, depth_keep=...) when cfg.LIFT.DEPTH_CULL is on.
     depth_keep: Optional[Tuple[int, ...]] = None
+    # sparse splat: keep only the top-k depth bins per pixel (cfg LIFT.TOPK;
+    # 0 = dense exact splat). Approximate — see ops/lift_splat.py lift_splat_topk.
+    depth_topk: int = 0
 
     def __post_init__(self):
         H, W = self.final_dim
@@ -92,6 +96,15 @@ class FieryConfig:
                 f'IMAGE.FINAL_DIM must be divisible by 16 (got {self.final_dim}): the '
                 f'encoder FPN upsamples the stride-16 endpoint by exactly 2x onto the '
                 f'stride-8 endpoint.')
+        if self.depth_topk:
+            if not 0 < self.depth_topk <= self.depth_channels:
+                raise ValueError(
+                    f'LIFT.TOPK must be in [1, D={self.depth_channels}] '
+                    f'(got {self.depth_topk})')
+            if self.depth_keep is not None:
+                raise ValueError('LIFT.TOPK and LIFT.DEPTH_CULL are exclusive: '
+                                 'the sparse top-k splat already drops '
+                                 'out-of-bounds mass via the dump bin.')
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -109,6 +122,7 @@ class FieryConfig:
             encoder_name=cfg.MODEL.ENCODER.NAME,
             encoder_out_channels=cfg.MODEL.ENCODER.OUT_CHANNELS,
             use_depth_distribution=cfg.MODEL.ENCODER.USE_DEPTH_DISTRIBUTION,
+            depth_topk=cfg.LIFT.TOPK,
             temporal_name=cfg.MODEL.TEMPORAL_MODEL.NAME,
             start_out_channels=cfg.MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS,
             extra_in_channels=cfg.MODEL.TEMPORAL_MODEL.EXTRA_IN_CHANNELS,
@@ -179,7 +193,7 @@ class BEVLift(nn.Module):
         # layers._BNCore) survive the remat boundary, so the backward replay skips
         # every full-activation BN reduction — everything else is recomputed as usual.
         encoder_cls = (nn.remat(
-            Encoder, static_argnums=(2,),
+            Encoder, static_argnums=(2, 3),
             policy=jax.checkpoint_policies.save_only_these_names('bn_stats'))
             if c.remat_lift else Encoder)
         encoder = encoder_cls(
@@ -192,9 +206,18 @@ class BEVLift(nn.Module):
             dtype=c.compute_dtype,
             name='encoder',
         )
-        feats = encoder(images.reshape(bs * n, *images.shape[2:]), train)
-        feats = feats.reshape(bs, n, *feats.shape[1:])       # (b*s, n, h, w, D, C)
         res, start, dim = c.bev_parameters
+        if c.depth_topk:
+            # sparse top-k splat: the encoder returns (depth, feat) unlifted; only
+            # the k highest-mass depth bins per pixel enter the scatter
+            depth, feat = encoder(images.reshape(bs * n, *images.shape[2:]),
+                                  train, True)
+            depth = depth.reshape(bs, n, *depth.shape[1:])   # (b*s, n, h, w, D)
+            feat = feat.reshape(bs, n, *feat.shape[1:])      # (b*s, n, h, w, C)
+            return lift_splat_topk(depth, feat, geometry.astype(feat.dtype),
+                                   c.depth_topk, res, start, dim)
+        feats = encoder(images.reshape(bs * n, *images.shape[2:]), train, False)
+        feats = feats.reshape(bs, n, *feats.shape[1:])       # (b*s, n, h, w, D, C)
         return lift_splat(feats, geometry.astype(feats.dtype), res, start, dim,
                           depth_keep=c.depth_keep)
 

@@ -183,6 +183,50 @@ def lift_splat(features, geometry, bev_resolution, bev_start_position, bev_dimen
     return jax.vmap(per_sample)(features, ids)
 
 
+def lift_splat_topk(depth, features, geometry, k,
+                    bev_resolution, bev_start_position, bev_dimension):
+    """Sparse depth splat: only the top-k depth bins of each pixel enter the
+    scatter (static shapes — k is a trace-time constant).
+
+    depth: (B, N, h, w, D) softmax depth distribution;
+    features: (B, N, h, w, C) per-pixel context features (pre outer-product);
+    geometry: (B, N, D, h, w, 3) ego-frame points. Returns (B, X, Y, C).
+
+    Rationale: on TPU the splat cost is ROW COUNT / ~55M rows/s (the scatter's
+    sort+gather transaction floor — see CLAUDE.md), and the dense lift
+    (reference models/fiery.py:221-273 splats every one of the D=48 bins per
+    pixel) spends most rows on near-zero softmax mass. Keeping the k largest
+    bins cuts rows D/k-fold. NOT bit-equal to the dense splat (k == D is —
+    covered by tests); an approximation knob (cfg LIFT.TOPK) for
+    throughput-critical training/serving, default off on the parity path.
+
+    The gradient is the exact gradient of this sparse forward: top_k is
+    piecewise-constant in the selection, so d(depth) flows to the selected
+    bins and d(features) through the selected outer products only.
+    """
+    C = features.shape[-1]
+    dim = np.asarray(bev_dimension)
+    X, Y, Z = int(dim[0]), int(dim[1]), int(dim[2])
+    ids = voxel_ids(geometry, bev_resolution, bev_start_position, bev_dimension)
+    ids = jnp.moveaxis(ids, 2, 4)                       # (B, N, h, w, D)
+    top_w, top_i = lax.top_k(depth, k)                  # (B, N, h, w, k)
+    ids_k = jnp.take_along_axis(ids, top_i, axis=-1)
+    vol = top_w[..., None] * features[..., None, :]     # (B, N, h, w, k, C)
+
+    accum = _splat_accum_dtype()
+
+    def per_sample(vol_b, ids_b):
+        f = vol_b.reshape(-1, C)
+        if accum is not None and f.dtype != accum:
+            dense = _sorted_splat(f.astype(accum), ids_b.reshape(-1),
+                                  X * Y * Z).astype(f.dtype)
+        else:
+            dense = _sorted_splat(f, ids_b.reshape(-1), X * Y * Z)
+        return dense.reshape(X, Y, Z, C).sum(axis=2)
+
+    return jax.vmap(per_sample)(vol, ids_k)
+
+
 def compute_depth_plane_keep(frustum, intrinsics, extrinsics,
                              bev_resolution, bev_start_position, bev_dimension,
                              t_margin=0.5, rot_margin_deg=2.0):

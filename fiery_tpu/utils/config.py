@@ -248,6 +248,11 @@ _C.LIFT.D_BOUND = [2.0, 50.0, 1.0]
 # (ops/lift_splat.py compute_depth_plane_keep; big win on small BEV grids —
 # fishing/pon cull ~72%/13% of rows; the 100x100 baseline culls ~0)
 _C.LIFT.DEPTH_CULL = False
+# sparse splat: keep only the TOPK highest-mass depth bins per pixel (0 = dense
+# exact splat). Approximate throughput knob — on TPU splat cost is row count /
+# ~55M rows/s, so TOPK=8 cuts the dominant scatter ~6x (ops/lift_splat.py
+# lift_splat_topk). Exclusive with DEPTH_CULL.
+_C.LIFT.TOPK = 0
 _C.LIFT.CULL_T_MARGIN = 0.5      # metres of translation slack in the envelope
 _C.LIFT.CULL_ROT_MARGIN = 2.0    # degrees of rotation slack
 

@@ -119,6 +119,73 @@ def test_depth_feature_outer_product():
     np.testing.assert_allclose(out.sum(3), depth.sum(-1)[..., None] * feat, atol=1e-5)
 
 
+def test_topk_splat_full_k_equals_dense():
+    """k == D selects every bin: the sparse splat must equal the dense one
+    (forward and gradient), since segment_sum order is irrelevant."""
+    rng = np.random.RandomState(4)
+    res, start, dim = calculate_birds_eye_view_parameters(X_BOUND, Y_BOUND, Z_BOUND)
+    B, N, D, h, w, C = 2, 3, 6, 4, 5, 7
+    depth_logits = rng.randn(B, N, h, w, D).astype(np.float32)
+    depth = np.exp(depth_logits) / np.exp(depth_logits).sum(-1, keepdims=True)
+    feat = rng.randn(B, N, h, w, C).astype(np.float32)
+    geometry = rng.uniform(-60, 60, (B, N, D, h, w, 3)).astype(np.float32)
+    geometry[..., 2] = rng.uniform(-9, 9, (B, N, D, h, w))
+
+    def dense(d, f):
+        vol = d[..., None] * f[..., None, :]       # (B, N, h, w, D, C)
+        return LS.lift_splat(vol, jnp.asarray(geometry), res, start, dim)
+
+    def sparse(d, f):
+        return LS.lift_splat_topk(d, f, jnp.asarray(geometry), D, res, start, dim)
+
+    args = (jnp.asarray(depth), jnp.asarray(feat))
+    out_d, vjp_d = jax.vjp(dense, *args)
+    out_s, vjp_s = jax.vjp(sparse, *args)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               rtol=1e-5, atol=1e-5)
+    ct = jnp.asarray(rng.rand(*out_d.shape).astype(np.float32))
+    for g_s, g_d in zip(vjp_s(ct), vjp_d(ct)):
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_topk_splat_partial_k_matches_masked_dense():
+    """k < D must equal the dense splat of the volume with non-top-k depth mass
+    zeroed (selection mask under stop_gradient) — forward and gradients."""
+    rng = np.random.RandomState(5)
+    res, start, dim = calculate_birds_eye_view_parameters(X_BOUND, Y_BOUND, Z_BOUND)
+    B, N, D, k, h, w, C = 1, 2, 8, 3, 4, 5, 6
+    depth_logits = rng.randn(B, N, h, w, D).astype(np.float32)
+    depth = np.exp(depth_logits) / np.exp(depth_logits).sum(-1, keepdims=True)
+    feat = rng.randn(B, N, h, w, C).astype(np.float32)
+    geometry = rng.uniform(-45, 45, (B, N, D, h, w, 3)).astype(np.float32)
+    geometry[..., 2] = rng.uniform(-9, 9, (B, N, D, h, w))
+
+    def masked_dense(d, f):
+        _, idx = jax.lax.top_k(d, k)
+        mask = jax.lax.stop_gradient(
+            jax.nn.one_hot(idx, D, dtype=d.dtype).sum(-2))   # (B,N,h,w,D) 0/1
+        vol = (d * mask)[..., None] * f[..., None, :]
+        return LS.lift_splat(vol, jnp.asarray(geometry), res, start, dim)
+
+    def sparse(d, f):
+        return LS.lift_splat_topk(d, f, jnp.asarray(geometry), k, res, start, dim)
+
+    args = (jnp.asarray(depth), jnp.asarray(feat))
+    out_m, vjp_m = jax.vjp(masked_dense, *args)
+    out_s, vjp_s = jax.vjp(sparse, *args)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_m),
+                               rtol=1e-5, atol=1e-5)
+    # top-3 of 8 keeps under half the mass rows; result must differ from dense
+    vol_full = jnp.asarray(depth)[..., None] * jnp.asarray(feat)[..., None, :]
+    out_dense = LS.lift_splat(vol_full, jnp.asarray(geometry), res, start, dim)
+    assert float(jnp.abs(out_s - out_dense).max()) > 1e-4
+    ct = jnp.asarray(rng.rand(*out_m.shape).astype(np.float32))
+    for g_s, g_m in zip(vjp_s(ct), vjp_m(ct)):
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_m),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def _nuscenes_like_rig(n_frames=2, jitter=0.0, seed=0):
     """6-camera rig: rotations/translations like the nuScenes sensor layout."""
     rng = np.random.RandomState(seed)

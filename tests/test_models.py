@@ -216,6 +216,31 @@ def test_fiery_forward_full():
     assert 'batch_stats' in variables
 
 
+def test_fiery_topk_sparse_splat_forward():
+    """LIFT.TOPK graph: sparse splat path compiles end-to-end; k == D
+    reproduces the dense model's outputs exactly (same params)."""
+    cfg = tiny_fiery_config()
+    D = cfg.depth_channels
+    cfg_topk = tiny_fiery_config(depth_topk=D)
+    image, intr, extr, ego, fdi = tiny_batch(cfg)
+    model = Fiery(cfg=cfg)
+    out, variables = init_and_apply(model, image, intr, extr, ego, fdi, train=True)
+    out_k = Fiery(cfg=cfg_topk).apply(
+        variables, image, intr, extr, ego, fdi, train=True,
+        rngs={'sample': jax.random.key(3), 'dropout': jax.random.key(4)},
+        mutable=['batch_stats'])[0]
+    np.testing.assert_allclose(np.asarray(out_k['segmentation']),
+                               np.asarray(out['segmentation']),
+                               rtol=1e-4, atol=1e-4)
+    # k < D: still finite, right shapes, but not identical to dense
+    out_s = Fiery(cfg=tiny_fiery_config(depth_topk=2)).apply(
+        variables, image, intr, extr, ego, fdi, train=True,
+        rngs={'sample': jax.random.key(3), 'dropout': jax.random.key(4)},
+        mutable=['batch_stats'])[0]
+    assert bool(jnp.all(jnp.isfinite(out_s['segmentation'])))
+    assert out_s['segmentation'].shape == out['segmentation'].shape
+
+
 def test_fiery_eval_deterministic_uses_present_mean():
     """Eval with noise=None must be deterministic (zero noise, present mu)."""
     cfg = tiny_fiery_config()

@@ -209,8 +209,17 @@ def lift_splat_topk(depth, features, geometry, k,
     X, Y, Z = int(dim[0]), int(dim[1]), int(dim[2])
     ids = voxel_ids(geometry, bev_resolution, bev_start_position, bev_dimension)
     ids = jnp.moveaxis(ids, 2, 4)                       # (B, N, h, w, D)
-    top_w, top_i = lax.top_k(depth, k)                  # (B, N, h, w, k)
-    ids_k = jnp.take_along_axis(ids, top_i, axis=-1)
+    if os.environ.get('FIERY_TOPK_SORT', '0') == '1':
+        # A/B variant: one variadic sort carries the bin ids through the
+        # selection — replaces top_k (itself a sort) + a separate element
+        # gather. Same selection: lax.sort is stable, so ties keep the lowest
+        # depth index first, exactly like top_k.
+        neg_d, ids_sorted = lax.sort((-depth, ids), dimension=-1, num_keys=1)
+        top_w = -neg_d[..., :k]                         # (B, N, h, w, k)
+        ids_k = ids_sorted[..., :k]
+    else:
+        top_w, top_i = lax.top_k(depth, k)              # (B, N, h, w, k)
+        ids_k = jnp.take_along_axis(ids, top_i, axis=-1)
     vol = top_w[..., None] * features[..., None, :]     # (B, N, h, w, k, C)
 
     accum = _splat_accum_dtype()

@@ -186,6 +186,35 @@ def test_topk_splat_partial_k_matches_masked_dense():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_topk_splat_sort_carry_variant_equivalent(monkeypatch):
+    """FIERY_TOPK_SORT=1 (variadic sort carrying ids) must reproduce the
+    top_k+gather path bit-for-bit — values and gradients."""
+    rng = np.random.RandomState(6)
+    res, start, dim = calculate_birds_eye_view_parameters(X_BOUND, Y_BOUND, Z_BOUND)
+    B, N, D, k, h, w, C = 1, 2, 8, 3, 4, 5, 6
+    depth_logits = rng.randn(B, N, h, w, D).astype(np.float32)
+    depth = np.exp(depth_logits) / np.exp(depth_logits).sum(-1, keepdims=True)
+    # inject exact ties to exercise the stable-sort tie rule
+    depth[0, 0, 0, 0, 2] = depth[0, 0, 0, 0, 5]
+    feat = rng.randn(B, N, h, w, C).astype(np.float32)
+    geometry = rng.uniform(-45, 45, (B, N, D, h, w, 3)).astype(np.float32)
+    geometry[..., 2] = rng.uniform(-9, 9, (B, N, D, h, w))
+    args = (jnp.asarray(depth), jnp.asarray(feat))
+
+    def run(d, f):
+        return LS.lift_splat_topk(d, f, jnp.asarray(geometry), k, res, start, dim)
+
+    monkeypatch.setenv('FIERY_TOPK_SORT', '0')
+    out_g, vjp_g = jax.vjp(run, *args)
+    monkeypatch.setenv('FIERY_TOPK_SORT', '1')
+    out_s, vjp_s = jax.vjp(run, *args)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_g))
+    ct = jnp.asarray(rng.rand(*out_g.shape).astype(np.float32))
+    for g_s, g_g in zip(vjp_s(ct), vjp_g(ct)):
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_g),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def _nuscenes_like_rig(n_frames=2, jitter=0.0, seed=0):
     """6-camera rig: rotations/translations like the nuScenes sensor layout."""
     rng = np.random.RandomState(seed)

@@ -105,6 +105,17 @@ class FieryConfig:
                 raise ValueError('LIFT.TOPK and LIFT.DEPTH_CULL are exclusive: '
                                  'the sparse top-k splat already drops '
                                  'out-of-bounds mass via the dump bin.')
+            if self.depth_topk % 8:
+                # Measured toolchain fault, not a style rule: the full train
+                # step at topk=4 dies with a Mosaic kernel fault (UNAVAILABLE)
+                # deterministically on TPU v5e, while k=8 runs fine. CPU tests
+                # with small k are unaffected (warning only, no raise).
+                import warnings
+                warnings.warn(
+                    f'LIFT.TOPK={self.depth_topk} is not a multiple of 8: the '
+                    f'fused sparse-splat train step is known to fault the TPU '
+                    f'on this toolchain for sublane-sized k (measured at k=4). '
+                    f'Use k=8 or a multiple of 8 on real hardware.')
 
     @classmethod
     def from_cfg(cls, cfg):

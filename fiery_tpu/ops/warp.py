@@ -37,6 +37,16 @@ def _patch_warp_enabled():
     return os.environ.get('FIERY_PATCH_WARP', '0') == '1'
 
 
+def _pair_warp_enabled():
+    """Bilinear sampling via TWO (1, 2, C)-window gathers per point instead of
+    four corner gathers (exact same math). Unlike the refuted (2, 2, C) patch
+    gather (3x regression — multi-H-row windows lower terribly), a (1, 2, C)
+    window stays inside ONE H row: the two x-taps are contiguous in memory, so
+    the hypothesis is the window rides the fast single-row gather path while
+    halving the random row transactions. A/B via FIERY_PAIR_WARP=1."""
+    return os.environ.get('FIERY_PAIR_WARP', '0') == '1'
+
+
 def grid_sample_2d(image, grid, mode='bilinear'):
     """Sample ``image`` (..., H, W, C) at normalised ``grid`` (..., Ho, Wo, 2) coordinates.
 
@@ -83,6 +93,8 @@ def _grid_sample_single(image, grid, mode):
 
         if _patch_warp_enabled():
             return _bilinear_patch(image, x0, y0, wx0, wx1, wy0, wy1)
+        if _pair_warp_enabled():
+            return _bilinear_pair(image, x0, y0, wx0, wx1, wy0, wy1)
 
         out = (
             gather(y0, x0) * (wy0 * wx0)[..., None]
@@ -125,6 +137,38 @@ def _bilinear_patch(image, x0, y0, wx0, wx1, wy0, wy1):
     for weight, valid, dy, dx in w:
         coeff = weight.reshape(-1) * valid.astype(image.dtype)
         out = out + patches[:, dy, dx, :] * coeff[:, None]
+    return out.reshape(out_shape + (C,))
+
+
+def _bilinear_pair(image, x0, y0, wx0, wx1, wy0, wy1):
+    """Bilinear sample via two (1, 2, C) row-pair gathers (exact 4-tap math).
+
+    The image is zero-padded by 1 px in W only, so a window starting at
+    (y, x0) clamped into the padded W extent always covers both x-taps: a tap
+    outside the ORIGINAL image is either a padded zero (1 px out in W) or has
+    its weight zeroed by the per-tap validity mask (further out in W, or any
+    y outside [0, H) — y is clamped, so the whole row's weight is masked)."""
+    H, W, C = image.shape
+    out_shape = x0.shape
+    padded = jnp.pad(image, ((0, 0), (1, 1), (0, 0)))           # (H, W+2, C)
+    sx = jnp.clip(x0.reshape(-1) + 1, 0, W)                     # window 2 fits
+
+    def x_valid(xi):
+        return ((xi >= 0) & (xi < W)).reshape(-1)
+
+    vx0, vx1 = x_valid(x0), x_valid(x0 + 1)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1))
+    out = jnp.zeros((sx.shape[0], C), image.dtype)
+    for yi, wy in ((y0, wy0), (y0 + 1, wy1)):
+        vy = ((yi >= 0) & (yi < H)).reshape(-1)
+        yc = jnp.clip(yi.reshape(-1), 0, H - 1)
+        starts = jnp.stack([yc, sx], axis=-1)                   # (P, 2)
+        pair = lax.gather(padded, starts, dnums, slice_sizes=(1, 2, C))  # (P,2,C)
+        wyf = wy.reshape(-1) * vy.astype(image.dtype)
+        out = out + pair[:, 0, :] * (wyf * wx0.reshape(-1) * vx0.astype(image.dtype))[:, None]
+        out = out + pair[:, 1, :] * (wyf * wx1.reshape(-1) * vx1.astype(image.dtype))[:, None]
     return out.reshape(out_shape + (C,))
 
 

@@ -146,3 +146,37 @@ def test_patch_gather_matches_four_tap_and_grad(monkeypatch):
     outp, gp = run()
     np.testing.assert_allclose(outp, out4, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(gp, g4, rtol=1e-6, atol=1e-6)
+
+
+def test_pair_gather_matches_four_tap_and_grad(monkeypatch):
+    """The (1,2,C) row-pair-gather bilinear path == the 4-tap path, values AND
+    gradients, including points far outside the image (zero padding) and the
+    exact column boundaries x0 = -1 / W-1 / W where the W-pad + clamp + mask
+    interplay matters."""
+    import fiery_tpu.ops.warp as W
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(13, 17, 5).astype(np.float32))
+    grid = np.asarray(rng.rand(9, 11, 2).astype(np.float32) * 4.0 - 2.0)
+    # pin a few exact boundary columns (align_corners=False unnormalise:
+    # ix = ((gx+1)*W - 1)/2  =>  gx = (2*ix + 1)/W - 1)
+    Wd = img.shape[1]
+    for j, ix in enumerate((-1.0, -0.5, 0.0, Wd - 1.0, Wd - 0.5, float(Wd))):
+        grid[0, j, 0] = (2.0 * ix + 1.0) / Wd - 1.0
+    grid = jnp.asarray(grid)
+
+    def run():
+        def f(im):
+            return W.grid_sample_2d(im, grid, mode='bilinear')
+        out, vjp = jax.vjp(f, img)
+        ct = jnp.asarray(rng.rand(*out.shape).astype(np.float32))
+        return np.asarray(out), np.asarray(vjp(ct)[0])
+
+    monkeypatch.setenv('FIERY_PAIR_WARP', '0')
+    rng = np.random.RandomState(1)
+    out4, g4 = run()
+    monkeypatch.setenv('FIERY_PAIR_WARP', '1')
+    rng = np.random.RandomState(1)
+    outp, gp = run()
+    np.testing.assert_allclose(outp, out4, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(gp, g4, rtol=1e-6, atol=1e-6)

@@ -42,8 +42,12 @@ def _pair_warp_enabled():
     four corner gathers (exact same math). Unlike the refuted (2, 2, C) patch
     gather (3x regression — multi-H-row windows lower terribly), a (1, 2, C)
     window stays inside ONE H row: the two x-taps are contiguous in memory, so
-    the hypothesis is the window rides the fast single-row gather path while
-    halving the random row transactions. A/B via FIERY_PAIR_WARP=1."""
+    the hypothesis was the window rides the fast single-row gather path while
+    halving the random row transactions. MEASURED DEAD END on TPU — default
+    OFF: the full train step measured 2544 ms vs 488 ms (5x slower, worse than
+    even the (2,2,C) patch's 1450 ms). ANY windowed gather — contiguous or not
+    — falls off the fast path on this toolchain; only slice_sizes=(1,1,C)
+    point gathers are fast. A/B via FIERY_PAIR_WARP=1 for other hardware."""
     return os.environ.get('FIERY_PAIR_WARP', '0') == '1'
 
 

@@ -127,7 +127,7 @@ def bench_eval_e2e(batch, precision, n_iters=10, fold_bn=True):
     return n_iters * batch / (time.perf_counter() - start)
 
 
-def bench_train(batch, precision, n_iters=10, topk=0):
+def bench_train(batch, precision, n_iters=10, topk=0, prewarp=False):
     import jax
     import jax.numpy as jnp
     from fiery_tpu.utils.config import get_cfg
@@ -135,10 +135,17 @@ def bench_train(batch, precision, n_iters=10, topk=0):
     from fiery_tpu.data.synthetic import SyntheticFutureDataset
 
     cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision,
-                            'BATCHSIZE': batch, 'LIFT': {'TOPK': topk}})
+                            'BATCHSIZE': batch, 'LIFT': {'TOPK': topk},
+                            'DATASET': {'PREWARP_LABELS': prewarp}})
     trainer = Trainer(cfg)
     ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
-    b = {k: jnp.asarray(v) for k, v in ds.get_batch(list(range(batch))).items()}
+    host_batch = ds.get_batch(list(range(batch)))
+    if prewarp:
+        # device step without the label warp; the warp runs host-side in the
+        # data pipeline (data/label_warp.py) and is staged with the batch
+        from fiery_tpu.data.label_warp import make_prewarp_transform
+        host_batch = make_prewarp_transform(cfg)(host_batch)
+    b = {k: jnp.asarray(v) for k, v in host_batch.items()}
     state = jax.jit(trainer.init_state)(jax.random.key(0), b)
     step = jax.jit(trainer.train_step, donate_argnums=(0,))
 
@@ -348,6 +355,10 @@ def main():
     parser.add_argument('--topk', default=0, type=int,
                         help='train mode: LIFT.TOPK sparse-splat depth bins '
                              '(0 = dense exact splat; headline protocol)')
+    parser.add_argument('--prewarp', action='store_true',
+                        help='train mode: pre-warp GT labels on the host data '
+                             'pipeline (DATASET.PREWARP_LABELS) — the device '
+                             'step skips the ~29 ms label warp')
     parser.add_argument('--precision', default=None, type=int, choices=[16, 32])
     parser.add_argument('--iters', default=10, type=int)
     parser.add_argument('--no-fold-bn', action='store_true',
@@ -359,11 +370,14 @@ def main():
     if args.mode == 'train':
         batch = args.batch or 3
         precision = args.precision or 16
-        value, extras = bench_train(batch, precision, args.iters, args.topk)
+        value, extras = bench_train(batch, precision, args.iters, args.topk,
+                                    args.prewarp)
         ref = None  # vs_baseline = roofline fraction (see module docstring)
         metric = 'baseline_train_clips_per_sec_per_chip'
         if args.topk:
             metric = f'topk{args.topk}_train_clips_per_sec_per_chip'
+        if args.prewarp:
+            metric = 'prewarp_' + metric
     elif args.mode == 'train-e2e':
         batch = args.batch or 3
         precision = args.precision or 16

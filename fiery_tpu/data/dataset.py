@@ -14,16 +14,21 @@ import queue as queue_mod
 import numpy as np
 
 _WORKER_DATASET = None
+_WORKER_TRANSFORM = None
 
 
-def _worker_init(dataset):
-    global _WORKER_DATASET
+def _worker_init(dataset, transform=None):
+    global _WORKER_DATASET, _WORKER_TRANSFORM
     _WORKER_DATASET = dataset
+    _WORKER_TRANSFORM = transform
 
 
 def _worker_load(idx):
     samples = [_WORKER_DATASET[int(i)] for i in idx]
-    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    if _WORKER_TRANSFORM is not None:
+        batch = _WORKER_TRANSFORM(batch)
+    return batch
 
 from fiery_tpu.data.synthetic import SyntheticFutureDataset
 
@@ -37,7 +42,8 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False, seed=0,
-                 prefetch=4, num_workers=0, process_index=0, process_count=1):
+                 prefetch=4, num_workers=0, process_index=0, process_count=1,
+                 transform=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -47,6 +53,9 @@ class DataLoader:
         self.num_workers = num_workers
         self.process_index = process_index
         self.process_count = process_count
+        # batch-level host transform (stacked numpy batch -> batch), applied in
+        # the worker/prefetch thread — e.g. label pre-warping (data/label_warp.py)
+        self.transform = transform
         self._epoch = 0
         self._pool = None
 
@@ -54,7 +63,7 @@ class DataLoader:
         if self._pool is None and self.num_workers > 0:
             ctx = mp.get_context('fork')
             self._pool = ctx.Pool(self.num_workers, initializer=_worker_init,
-                                  initargs=(self.dataset,))
+                                  initargs=(self.dataset, self.transform))
         return self._pool
 
     def __len__(self):
@@ -97,7 +106,10 @@ class DataLoader:
         def producer():
             for idx in batches:
                 samples = [self.dataset[int(i)] for i in idx]
-                q.put({k: np.stack([s[k] for s in samples]) for k in samples[0]})
+                batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+                if self.transform is not None:
+                    batch = self.transform(batch)
+                q.put(batch)
             q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -140,14 +152,20 @@ def prepare_dataloaders(cfg, return_dataset=False, batch_size=None,
 
     num_workers = cfg.N_WORKERS if name in ('nuscenes', 'lyft') else 0
     bs = cfg.BATCHSIZE if batch_size is None else batch_size
+    transform = None
+    if cfg.DATASET.PREWARP_LABELS:
+        from fiery_tpu.data.label_warp import make_prewarp_transform
+        transform = make_prewarp_transform(cfg)
     train_loader = DataLoader(train_ds, bs, shuffle=True, drop_last=True,
                               num_workers=num_workers,
                               process_index=process_index,
-                              process_count=process_count)
+                              process_count=process_count,
+                              transform=transform)
     val_loader = DataLoader(val_ds, bs, shuffle=False, drop_last=False,
                             num_workers=num_workers,
                             process_index=process_index,
-                            process_count=process_count)
+                            process_count=process_count,
+                            transform=transform)
     if return_dataset:
         return train_loader, val_loader, train_ds, val_ds
     return train_loader, val_loader

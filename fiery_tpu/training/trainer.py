@@ -85,21 +85,28 @@ class Trainer:
         rf = self.receptive_field
         labels = {}
 
-        ego = batch['future_egomotion'][:, rf - 1:]
+        if 'warped_label_stack' in batch:
+            # The data pipeline pre-warped the stack on the host
+            # (data/label_warp.py, cfg DATASET.PREWARP_LABELS): the warp is a
+            # pure function of (labels, future_egomotion), so it runs in idle
+            # host time instead of ~29 ms of device gathers per step.
+            stacked = batch['warped_label_stack']
+        else:
+            ego = batch['future_egomotion'][:, rf - 1:]
 
-        # All label maps share the same nearest-mode warp grids, so stack them into
-        # one channel dimension and pay for a single grid computation + gather per
-        # (b, t) instead of five (the per-map version showed up as ~25-30 ms/step of
-        # duplicated f32 index/gather fusions in the TPU trace).
-        maps = [batch['segmentation'][:, rf - 1:].astype(jnp.float32),
-                batch['instance'][:, rf - 1:].astype(jnp.float32)[..., None],
-                batch['centerness'][:, rf - 1:],
-                batch['offset'][:, rf - 1:]]
-        if cfg.INSTANCE_FLOW.ENABLED:
-            maps.append(batch['flow'][:, rf - 1:])
-        stacked = cumulative_warp_features_reverse(
-            jnp.concatenate(maps, axis=-1), ego, mode='nearest',
-            spatial_extent=self.spatial_extent)
+            # All label maps share the same nearest-mode warp grids, so stack them
+            # into one channel dimension and pay for a single grid computation +
+            # gather per (b, t) instead of five (the per-map version showed up as
+            # ~25-30 ms/step of duplicated f32 index/gather fusions in the trace).
+            maps = [batch['segmentation'][:, rf - 1:].astype(jnp.float32),
+                    batch['instance'][:, rf - 1:].astype(jnp.float32)[..., None],
+                    batch['centerness'][:, rf - 1:],
+                    batch['offset'][:, rf - 1:]]
+            if cfg.INSTANCE_FLOW.ENABLED:
+                maps.append(batch['flow'][:, rf - 1:])
+            stacked = cumulative_warp_features_reverse(
+                jnp.concatenate(maps, axis=-1), ego, mode='nearest',
+                spatial_extent=self.spatial_extent)
 
         labels['segmentation'] = jnp.round(stacked[..., 0]).astype(jnp.int32)
         labels['instance'] = jnp.round(stacked[..., 1]).astype(jnp.int32)

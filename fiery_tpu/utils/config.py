@@ -223,6 +223,12 @@ _C.DATASET.IGNORE_INDEX = 255
 _C.DATASET.FILTER_INVISIBLE_VEHICLES = True
 _C.DATASET.N_SYNTHETIC_SAMPLES = 16  # synthetic backend only
 _C.DATASET.LABEL_CACHE_DIR = ''  # cache rasterised BEV labels on disk ('' = off)
+# Pre-warp GT labels into the present frame on the HOST data pipeline
+# (data/label_warp.py) instead of on device inside the train step: removes
+# ~29 ms/step of label-warp gathers from the TPU hot path (per-fusion trace).
+# The warp is a pure function of (labels, future_egomotion) — same math, run
+# in idle host time. Off by default (parity with the reference's in-step warp).
+_C.DATASET.PREWARP_LABELS = False
 
 _C.TIME_RECEPTIVE_FIELD = 3
 _C.N_FUTURE_FRAMES = 4

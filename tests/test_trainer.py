@@ -167,3 +167,54 @@ def test_optimizer_matches_torch_adam():
 
     np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_host_label_prewarp_matches_device(setup):
+    """The numpy host pre-warp (data/label_warp.py) must reproduce the device
+    label warp: identical warped stack, and bit-identical train-step metrics
+    when the trainer consumes the precomputed stack."""
+    from fiery_tpu.data.label_warp import make_prewarp_transform
+    from fiery_tpu.ops.warp import cumulative_warp_features_reverse
+
+    cfg, dataset, trainer, batch, state = setup
+    rf = trainer.receptive_field
+
+    host = make_prewarp_transform(cfg)(
+        {k: np.asarray(v) for k, v in batch.items()})
+    # device twin of the same stack
+    maps = [batch['segmentation'][:, rf - 1:].astype(jnp.float32),
+            batch['instance'][:, rf - 1:].astype(jnp.float32)[..., None],
+            batch['centerness'][:, rf - 1:],
+            batch['offset'][:, rf - 1:],
+            batch['flow'][:, rf - 1:]]
+    ego = batch['future_egomotion'][:, rf - 1:]
+    dev = cumulative_warp_features_reverse(
+        jnp.concatenate(maps, axis=-1), ego, mode='nearest',
+        spatial_extent=trainer.spatial_extent)
+    np.testing.assert_array_equal(host['warped_label_stack'], np.asarray(dev))
+
+    # the train step with the precomputed stack == the in-step warp path
+    pre_batch = dict(batch)
+    pre_batch['warped_label_stack'] = jnp.asarray(host['warped_label_stack'])
+    _, m_plain = jax.jit(trainer.train_step)(state, batch, jax.random.key(1))
+    _, m_pre = jax.jit(trainer.train_step)(state, pre_batch, jax.random.key(1))
+    for k in m_plain:
+        np.testing.assert_array_equal(np.asarray(m_plain[k]),
+                                      np.asarray(m_pre[k]), err_msg=k)
+
+
+def test_dataloader_prewarp_transform_wiring():
+    """prepare_dataloaders attaches the prewarp transform when
+    DATASET.PREWARP_LABELS is on; batches then carry 'warped_label_stack'."""
+    from fiery_tpu.data.dataset import prepare_dataloaders
+
+    cfg = tiny_cfg(DATASET={'NAME': 'synthetic', 'N_SYNTHETIC_SAMPLES': 4,
+                            'PREWARP_LABELS': True})
+    train_loader, _ = prepare_dataloaders(cfg)
+    b = next(iter(train_loader))
+    assert 'warped_label_stack' in b
+    s_lab = cfg.TIME_RECEPTIVE_FIELD - 1
+    n_t = b['segmentation'].shape[1] - s_lab
+    assert b['warped_label_stack'].shape[:2] == (cfg.BATCHSIZE, n_t)
+    assert b['warped_label_stack'].shape[-1] == 7
+    assert np.isfinite(b['warped_label_stack']).all()

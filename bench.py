@@ -43,14 +43,15 @@ V5E_BF16_PEAK_FLOPS = 197e12
 V5E_HBM_BYTES_PER_SEC = 819e9
 
 
-def bench_eval(batch, precision, n_iters=10, fold_bn=True):
+def bench_eval(batch, precision, n_iters=10, fold_bn=True, topk=0):
     import jax
     import jax.numpy as jnp
     from fiery_tpu.utils.config import get_cfg
     from fiery_tpu.models.fiery import build_fiery
     from fiery_tpu.data.synthetic import SyntheticFutureDataset
 
-    cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision})
+    cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision,
+                            'LIFT': {'TOPK': topk}})
     model = build_fiery(cfg)
     ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
     b = ds.get_batch(list(range(batch)))
@@ -77,7 +78,7 @@ def bench_eval(batch, precision, n_iters=10, fold_bn=True):
     return n_iters * batch / (time.perf_counter() - start)
 
 
-def bench_eval_e2e(batch, precision, n_iters=10, fold_bn=True):
+def bench_eval_e2e(batch, precision, n_iters=10, fold_bn=True, topk=0):
     """Full on-device eval pipeline: model forward + jittable instance decode +
     Jonker-Volgenant temporal ID matching (ops/lap.py), ids pulled as int16.
 
@@ -91,7 +92,8 @@ def bench_eval_e2e(batch, precision, n_iters=10, fold_bn=True):
     from fiery_tpu.postprocess.instance import (
         decode_instance_predictions, make_instance_id_temporally_consistent_device)
 
-    cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision})
+    cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision,
+                            'LIFT': {'TOPK': topk}})
     model = build_fiery(cfg)
     ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
     b = ds.get_batch(list(range(batch)))
@@ -399,16 +401,20 @@ def main():
         batch = args.batch or 1
         precision = args.precision or 32
         value = bench_eval_e2e(batch, precision, args.iters,
-                               fold_bn=not args.no_fold_bn)
+                               fold_bn=not args.no_fold_bn, topk=args.topk)
         ref = ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC
         metric = 'baseline_eval_e2e_clips_per_sec_per_chip'
+        if args.topk:
+            metric = f'topk{args.topk}_eval_e2e_clips_per_sec_per_chip'
     else:
         batch = args.batch or 1
         precision = args.precision or 32
         value = bench_eval(batch, precision, args.iters,
-                           fold_bn=not args.no_fold_bn)
+                           fold_bn=not args.no_fold_bn, topk=args.topk)
         ref = ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC
         metric = 'baseline_eval_clips_per_sec_per_chip'
+        if args.topk:
+            metric = f'topk{args.topk}_eval_clips_per_sec_per_chip'
 
     if ref is None:
         vs = extras.get('roofline_fraction',

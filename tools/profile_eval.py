@@ -1,0 +1,64 @@
+"""Profile the serving graph (eval forward, BN folded) on the real TPU.
+
+Usage: python tools/profile_eval.py [topk]   (default topk=8, the serving config)
+Dumps optimized HLO + XPlane trace to /tmp/trace_eval for tools/fusion_attr.py.
+"""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from fiery_tpu.utils.config import get_cfg
+from fiery_tpu.models.fiery import build_fiery
+from fiery_tpu.data.synthetic import SyntheticFutureDataset
+from fiery_tpu.utils.bn_fold import make_serving_fn
+from fiery_tpu.utils.profiling import summarise_trace
+
+topk = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+batch = 1
+cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': 16,
+                        'LIFT': {'TOPK': topk}})
+model = build_fiery(cfg)
+ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
+b = ds.get_batch(list(range(batch)))
+args = tuple(jnp.asarray(b[k]) for k in
+             ['image', 'intrinsics', 'extrinsics', 'future_egomotion'])
+variables = jax.jit(model.init, static_argnames='train')(
+    {'params': jax.random.key(0)}, *args, train=False)
+serve, variables = make_serving_fn(model, jax.device_get(variables), args + (None,))
+variables = jax.device_put(variables)
+
+t0 = time.time()
+fn = jax.jit(lambda v, *a: serve(v, *a, None)).lower(variables, *args).compile()
+print(f'compile: {time.time()-t0:.1f}s', flush=True)
+trace_dir = '/tmp/trace_eval'
+os.makedirs(trace_dir, exist_ok=True)
+with open(os.path.join(trace_dir, 'hlo.txt'), 'w') as f:
+    f.write(fn.as_text())
+print('dumped optimized HLO', flush=True)
+
+out = fn(variables, *args)
+jax.block_until_ready(out)
+t0 = time.time()
+for _ in range(20):
+    out = fn(variables, *args)
+jax.block_until_ready(out)
+dt = (time.time() - t0) / 20
+print(f'steady fwd: {dt*1e3:.2f} ms  ({batch/dt:.2f} clips/s)  topk={topk}', flush=True)
+
+jax.profiler.start_trace(trace_dir)
+for _ in range(3):
+    out = fn(variables, *args)
+jax.block_until_ready(out)
+jax.profiler.stop_trace()
+
+ranked, planes = summarise_trace(trace_dir, top=60)
+total = sum(us for _, us in ranked)
+print(f'planes: {sorted(set(planes))}')
+print(f'{"us":>12}  {"%":>5}  op')
+for name, us in ranked:
+    print(f'{us:12.0f}  {100 * us / total:5.1f}  {name[:160]}')

@@ -187,8 +187,9 @@ def test_topk_splat_partial_k_matches_masked_dense():
 
 
 def test_topk_splat_sort_carry_variant_equivalent(monkeypatch):
-    """FIERY_TOPK_SORT=1 (variadic sort carrying ids) must reproduce the
-    top_k+gather path bit-for-bit — values and gradients."""
+    """FIERY_TOPK_SELECT=sort (variadic sort carrying ids) must reproduce the
+    FIERY_TOPK_SELECT=topk path bit-for-bit — values and gradients (both
+    produce descending-value slot order, unlike the 'nosort' default)."""
     rng = np.random.RandomState(6)
     res, start, dim = calculate_birds_eye_view_parameters(X_BOUND, Y_BOUND, Z_BOUND)
     B, N, D, k, h, w, C = 1, 2, 8, 3, 4, 5, 6
@@ -204,15 +205,68 @@ def test_topk_splat_sort_carry_variant_equivalent(monkeypatch):
     def run(d, f):
         return LS.lift_splat_topk(d, f, jnp.asarray(geometry), k, res, start, dim)
 
-    monkeypatch.setenv('FIERY_TOPK_SORT', '0')
+    monkeypatch.setenv('FIERY_TOPK_SELECT', 'topk')
     out_g, vjp_g = jax.vjp(run, *args)
-    monkeypatch.setenv('FIERY_TOPK_SORT', '1')
+    monkeypatch.setenv('FIERY_TOPK_SELECT', 'sort')
     out_s, vjp_s = jax.vjp(run, *args)
     np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_g))
     ct = jnp.asarray(rng.rand(*out_g.shape).astype(np.float32))
     for g_s, g_g in zip(vjp_s(ct), vjp_g(ct)):
         np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_g),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_topk_splat_nosort_variant_equivalent(monkeypatch):
+    """FIERY_TOPK_NOSORT=1 (radix-select + rank compaction, no sort) must pick
+    the exact same (weight, bin) multiset as the top_k path — including the
+    lowest-index tie rule — so the splat output and gradients match up to f32
+    reduction order."""
+    rng = np.random.RandomState(7)
+    res, start, dim = calculate_birds_eye_view_parameters(X_BOUND, Y_BOUND, Z_BOUND)
+    B, N, D, k, h, w, C = 1, 2, 8, 3, 4, 5, 6
+    depth_logits = rng.randn(B, N, h, w, D).astype(np.float32)
+    depth = np.exp(depth_logits) / np.exp(depth_logits).sum(-1, keepdims=True)
+    # exact ties straddling the k-th boundary to exercise the tie rule
+    depth[0, 0, 0, 0, :] = np.float32([.3, .2, .2, .2, .02, .02, .03, .03])
+    feat = rng.randn(B, N, h, w, C).astype(np.float32)
+    geometry = rng.uniform(-45, 45, (B, N, D, h, w, 3)).astype(np.float32)
+    geometry[..., 2] = rng.uniform(-9, 9, (B, N, D, h, w))
+
+    # selection-set identity (order-independent): compare sorted (w, id) pairs
+    from fiery_tpu.ops.lift_splat import _topk_select_nosort, voxel_ids
+    ids = jnp.moveaxis(voxel_ids(jnp.asarray(geometry), res, start, dim), 2, 4)
+    tw_ref, ti_ref = jax.lax.top_k(jnp.asarray(depth), k)
+    ids_ref = jnp.take_along_axis(ids, ti_ref, axis=-1)
+    tw_ns, ids_ns = _topk_select_nosort(jnp.asarray(depth), ids, k)
+
+    def canon(wv, iv):
+        key = np.asarray(iv).astype(np.int64) * 10**6 + \
+            (np.asarray(wv) * 10**5).astype(np.int64)
+        order = np.argsort(key, axis=-1)
+        return (np.take_along_axis(np.asarray(wv), order, -1),
+                np.take_along_axis(np.asarray(iv), order, -1))
+
+    w_a, i_a = canon(tw_ref, ids_ref)
+    w_b, i_b = canon(tw_ns, ids_ns)
+    np.testing.assert_array_equal(i_a, i_b)
+    np.testing.assert_array_equal(w_a, w_b)
+
+    # full splat fwd+bwd equivalence (reduction-order tolerance)
+    args = (jnp.asarray(depth), jnp.asarray(feat))
+
+    def run(d, f):
+        return LS.lift_splat_topk(d, f, jnp.asarray(geometry), k, res, start, dim)
+
+    monkeypatch.setenv('FIERY_TOPK_SELECT', 'topk')
+    out_g, vjp_g = jax.vjp(run, *args)
+    monkeypatch.setenv('FIERY_TOPK_SELECT', 'nosort')
+    out_s, vjp_s = jax.vjp(run, *args)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_g),
+                               rtol=1e-5, atol=1e-6)
+    ct = jnp.asarray(rng.rand(*out_g.shape).astype(np.float32))
+    for g_s, g_g in zip(vjp_s(ct), vjp_g(ct)):
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_g),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def _nuscenes_like_rig(n_frames=2, jitter=0.0, seed=0):

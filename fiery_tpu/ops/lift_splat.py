@@ -183,6 +183,43 @@ def lift_splat(features, geometry, bev_resolution, bev_start_position, bev_dimen
     return jax.vmap(per_sample)(features, ids)
 
 
+def _order_bits(x):
+    """Map floats to order-preserving unsigned ints in their NATIVE width:
+    bf16 -> u16 (a 4-level radix descent instead of 8 — bf16 has only 16
+    significant bits, so descending an f32 upcast wastes half the passes),
+    everything else -> u32 via f32. Comparison caveat: -0.0 and +0.0 map to
+    distinct ints (same as losses._kth_largest) — irrelevant for softmax
+    depth, which is strictly positive."""
+    if x.dtype == jnp.bfloat16:
+        b = jax.lax.bitcast_convert_type(x, jnp.uint16)
+        return jnp.where((b >> 15) == 0, b | jnp.uint16(0x8000), ~b), 16
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    return jnp.where((b >> 31) == 0, b | jnp.uint32(0x80000000), ~b), 32
+
+
+def _kth_largest_bits(u, k, nbits):
+    """Exact k-th largest of order-mapped uint values along the last axis:
+    4-bit dense-histogram descent (compare + reduce only — no sort, no
+    scatter), nbits/4 levels. Generic-width twin of losses._kth_largest."""
+    prefix = jnp.zeros(u.shape[:-1] + (1,), u.dtype)
+    rank = jnp.full(u.shape[:-1] + (1,), k, jnp.int32)
+    buckets = jnp.arange(16, dtype=jnp.int32)
+    for level in range(nbits // 4):
+        shift = nbits - 4 - 4 * level
+        active = ((u >> (shift + 4)) == (prefix >> (shift + 4))
+                  if level else jnp.ones(u.shape, bool))
+        b = ((u >> shift) & jnp.asarray(0xF, u.dtype)).astype(jnp.int32)
+        onehot = (b[..., None] == buckets) & active[..., None]
+        hist = onehot.sum(axis=-2)                           # (..., 16)
+        cnt_ge = jnp.cumsum(hist[..., ::-1], axis=-1)[..., ::-1]
+        bstar = jnp.sum((cnt_ge >= rank).astype(jnp.int32), axis=-1,
+                        keepdims=True) - 1                   # largest bucket >= rank
+        cnt_gt = jnp.take_along_axis(cnt_ge - hist, bstar, axis=-1)
+        rank = rank - cnt_gt
+        prefix = prefix | (bstar.astype(u.dtype) << jnp.asarray(shift, u.dtype))
+    return prefix
+
+
 def _topk_select_nosort(depth, ids, k):
     """Exact top-k SET selection without any sort (FIERY_TOPK_SELECT=nosort,
     the default).
@@ -199,11 +236,10 @@ def _topk_select_nosort(depth, ids, k):
 
     Returns (top_w, ids_k), each (..., k).
     """
-    from fiery_tpu.training.losses import _kth_largest
-    kth = _kth_largest(depth, k)                             # (..., 1) f32 exact
-    d32 = depth.astype(jnp.float32)
-    gt = d32 > kth
-    eq = d32 == kth
+    u, nbits = _order_bits(depth)
+    kth_u = _kth_largest_bits(u, k, nbits)                   # (..., 1) exact
+    gt = u > kth_u
+    eq = u == kth_u
     n_gt = gt.sum(axis=-1, keepdims=True)
     eq_rank = jnp.cumsum(eq.astype(jnp.int32), axis=-1)      # 1-based among ties
     sel = gt | (eq & (eq_rank <= (k - n_gt)))                # exactly k true

@@ -269,6 +269,32 @@ def test_topk_splat_nosort_variant_equivalent(monkeypatch):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_topk_nosort_bf16_native_width_descent():
+    """bf16 depth takes the 4-level u16 radix descent (half the passes of the
+    f32 path); the selected (weight, bin) multiset must still match lax.top_k
+    exactly — bf16 has many more exact ties, exercising the tie rule hard."""
+    from fiery_tpu.ops.lift_splat import _topk_select_nosort
+
+    rng = np.random.RandomState(11)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        d = jnp.asarray(rng.rand(2, 3, 5, 48).astype(np.float32)).astype(dtype)
+        ids = jnp.asarray(rng.randint(0, 40000, (2, 3, 5, 48)), jnp.int32)
+        tw, ik = _topk_select_nosort(d, ids, 8)
+        assert tw.dtype == dtype
+        twr, tir = jax.lax.top_k(d, 8)
+        ikr = jnp.take_along_axis(ids, tir, -1)
+
+        def canon(w, i):
+            o = np.argsort(np.asarray(i, np.int64), -1)
+            return (np.take_along_axis(np.asarray(w, np.float32), o, -1),
+                    np.take_along_axis(np.asarray(i), o, -1))
+
+        w_a, i_a = canon(tw, ik)
+        w_b, i_b = canon(twr, ikr)
+        np.testing.assert_array_equal(i_a, i_b)
+        np.testing.assert_array_equal(w_a, w_b)
+
+
 def _nuscenes_like_rig(n_frames=2, jitter=0.0, seed=0):
     """6-camera rig: rotations/translations like the nuScenes sensor layout."""
     rng = np.random.RandomState(seed)

@@ -43,7 +43,7 @@ V5E_BF16_PEAK_FLOPS = 197e12
 V5E_HBM_BYTES_PER_SEC = 819e9
 
 
-def bench_eval(batch, precision, n_iters=10, fold_bn=True, topk=0):
+def bench_eval(batch, precision, n_iters=10, fold_bn=True, topk=0, warp_free=False):
     import jax
     import jax.numpy as jnp
     from fiery_tpu.utils.config import get_cfg
@@ -51,7 +51,7 @@ def bench_eval(batch, precision, n_iters=10, fold_bn=True, topk=0):
     from fiery_tpu.data.synthetic import SyntheticFutureDataset
 
     cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision,
-                            'LIFT': {'TOPK': topk}})
+                            'LIFT': {'TOPK': topk, 'WARP_FREE': warp_free}})
     model = build_fiery(cfg)
     ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
     b = ds.get_batch(list(range(batch)))
@@ -78,7 +78,8 @@ def bench_eval(batch, precision, n_iters=10, fold_bn=True, topk=0):
     return n_iters * batch / (time.perf_counter() - start)
 
 
-def bench_eval_e2e(batch, precision, n_iters=10, fold_bn=True, topk=0):
+def bench_eval_e2e(batch, precision, n_iters=10, fold_bn=True, topk=0,
+                   warp_free=False):
     """Full on-device eval pipeline: model forward + jittable instance decode +
     Jonker-Volgenant temporal ID matching (ops/lap.py), ids pulled as int16.
 
@@ -93,7 +94,7 @@ def bench_eval_e2e(batch, precision, n_iters=10, fold_bn=True, topk=0):
         decode_instance_predictions, make_instance_id_temporally_consistent_device)
 
     cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision,
-                            'LIFT': {'TOPK': topk}})
+                            'LIFT': {'TOPK': topk, 'WARP_FREE': warp_free}})
     model = build_fiery(cfg)
     ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
     b = ds.get_batch(list(range(batch)))
@@ -129,15 +130,18 @@ def bench_eval_e2e(batch, precision, n_iters=10, fold_bn=True, topk=0):
     return n_iters * batch / (time.perf_counter() - start)
 
 
-def bench_train(batch, precision, n_iters=10, topk=0, prewarp=False):
+def bench_train(batch, precision, n_iters=10, topk=0, prewarp=False,
+                warp_free=False, trim_train=False):
     import jax
     import jax.numpy as jnp
     from fiery_tpu.utils.config import get_cfg
     from fiery_tpu.training.trainer import Trainer
     from fiery_tpu.data.synthetic import SyntheticFutureDataset
 
-    cfg = get_cfg(cfg_dict={'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': precision,
-                            'BATCHSIZE': batch, 'LIFT': {'TOPK': topk},
+    cfg = get_cfg(cfg_dict={'PRECISION': precision, 'BATCHSIZE': batch,
+                            'LIFT': {'TOPK': topk, 'WARP_FREE': warp_free},
+                            'MODEL': {'BN_MOMENTUM': 0.05,
+                                      'TEMPORAL_MODEL': {'TRIM_TRAIN': trim_train}},
                             'DATASET': {'PREWARP_LABELS': prewarp}})
     trainer = Trainer(cfg)
     ds = SyntheticFutureDataset(cfg, n_samples=batch, n_instances=2, seed=0)
@@ -361,6 +365,17 @@ def main():
                         help='train mode: pre-warp GT labels on the host data '
                              'pipeline (DATASET.PREWARP_LABELS) — the device '
                              'step skips the ~29 ms label warp')
+    parser.add_argument('--trim-train', action='store_true',
+                        help='train mode: trim the temporal stack to the causal '
+                             'minimum during training too '
+                             '(MODEL.TEMPORAL_MODEL.TRIM_TRAIN; approximate — '
+                             'BN batch stats over kept frames only)')
+    parser.add_argument('--warp-free', action='store_true',
+                        help='fold ego-motion into the lift geometry '
+                             '(LIFT.WARP_FREE): past frames splat directly '
+                             'into the present grid; the post-splat bilinear '
+                             'feature warp disappears (approximate, like '
+                             '--topk, with which it composes)')
     parser.add_argument('--precision', default=None, type=int, choices=[16, 32])
     parser.add_argument('--iters', default=10, type=int)
     parser.add_argument('--no-fold-bn', action='store_true',
@@ -373,13 +388,18 @@ def main():
         batch = args.batch or 3
         precision = args.precision or 16
         value, extras = bench_train(batch, precision, args.iters, args.topk,
-                                    args.prewarp)
+                                    args.prewarp, args.warp_free,
+                                    args.trim_train)
         ref = None  # vs_baseline = roofline fraction (see module docstring)
         metric = 'baseline_train_clips_per_sec_per_chip'
         if args.topk:
             metric = f'topk{args.topk}_train_clips_per_sec_per_chip'
         if args.prewarp:
             metric = 'prewarp_' + metric
+        if args.warp_free:
+            metric = 'warpfree_' + metric
+        if args.trim_train:
+            metric = 'trimtrain_' + metric
     elif args.mode == 'train-e2e':
         batch = args.batch or 3
         precision = args.precision or 16
@@ -401,20 +421,26 @@ def main():
         batch = args.batch or 1
         precision = args.precision or 32
         value = bench_eval_e2e(batch, precision, args.iters,
-                               fold_bn=not args.no_fold_bn, topk=args.topk)
+                               fold_bn=not args.no_fold_bn, topk=args.topk,
+                               warp_free=args.warp_free)
         ref = ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC
         metric = 'baseline_eval_e2e_clips_per_sec_per_chip'
         if args.topk:
             metric = f'topk{args.topk}_eval_e2e_clips_per_sec_per_chip'
+        if args.warp_free:
+            metric = 'warpfree_' + metric
     else:
         batch = args.batch or 1
         precision = args.precision or 32
         value = bench_eval(batch, precision, args.iters,
-                           fold_bn=not args.no_fold_bn, topk=args.topk)
+                           fold_bn=not args.no_fold_bn, topk=args.topk,
+                           warp_free=args.warp_free)
         ref = ESTIMATED_REFERENCE_EVAL_CLIPS_PER_SEC
         metric = 'baseline_eval_clips_per_sec_per_chip'
         if args.topk:
             metric = f'topk{args.topk}_eval_clips_per_sec_per_chip'
+        if args.warp_free:
+            metric = 'warpfree_' + metric
 
     if ref is None:
         vs = extras.get('roofline_fraction',

@@ -34,7 +34,8 @@ from fiery_tpu.models.temporal_model import (
 )
 from fiery_tpu.ops.lift_splat import (
     create_frustum, get_geometry, lift_splat, lift_splat_topk)
-from fiery_tpu.ops.warp import cumulative_warp_features
+from fiery_tpu.ops.warp import (
+    compose_poses_to_present, cumulative_warp_features, warp_points_to_present)
 from fiery_tpu.utils.geometry import (
     calculate_birds_eye_view_parameters,
     pack_sequence_dim,
@@ -88,6 +89,18 @@ class FieryConfig:
     # sparse splat: keep only the top-k depth bins per pixel (cfg LIFT.TOPK;
     # 0 = dense exact splat). Approximate — see ops/lift_splat.py lift_splat_topk.
     depth_topk: int = 0
+    # trim the temporal stack to the causal minimum during TRAINING too (cfg
+    # MODEL.TEMPORAL_MODEL.TRIM_TRAIN): BN batch statistics are then computed
+    # over the kept frames only — off the parity path (eval-time trimming is
+    # exact and always on; see temporal_model.py).
+    temporal_trim_train: bool = False
+    # warp-free lift (cfg LIFT.WARP_FREE): fold the composed ego-motion poses into
+    # the lift geometry so past frames splat DIRECTLY into the present BEV grid —
+    # the post-splat bilinear feature warp (and its backward scatter) disappears
+    # from the graph. Same continuous-space maths as splat+warp but a different
+    # discretisation (bin assignment instead of bilinear blur), so it is off the
+    # reference-parity path, like LIFT.TOPK.
+    warp_free: bool = False
 
     def __post_init__(self):
         H, W = self.final_dim
@@ -116,10 +129,26 @@ class FieryConfig:
                     f'fused sparse-splat train step is known to fault the TPU '
                     f'on this toolchain for sublane-sized k (measured at k=4). '
                     f'Use k=8 or a multiple of 8 on real hardware.')
+        if self.warp_free and self.depth_keep is not None:
+            raise ValueError(
+                'LIFT.WARP_FREE and LIFT.DEPTH_CULL are exclusive: the static '
+                'culling envelope is computed in per-frame grid coordinates and '
+                'does not account for the ego motion folded into the geometry.')
 
     @classmethod
     def from_cfg(cls, cfg):
         """Build from a CfgNode (fiery_tpu.utils.config.get_cfg())."""
+        # Reject contradictory cfg combinations here, at the user-facing surface:
+        # the depth_keep counts themselves are rig-dependent and only computed
+        # later (train.py), so the __post_init__ depth_keep guards would fire
+        # only at Trainer construction.
+        if cfg.LIFT.DEPTH_CULL and (cfg.LIFT.TOPK or cfg.LIFT.WARP_FREE):
+            raise ValueError(
+                'LIFT.DEPTH_CULL is exclusive with LIFT.TOPK (the sparse splat '
+                'already drops out-of-bounds mass via the dump bin) and with '
+                'LIFT.WARP_FREE (the static culling envelope is computed in '
+                'per-frame grid coordinates and does not account for the ego '
+                'motion folded into the geometry).')
         return cls(
             time_receptive_field=cfg.TIME_RECEPTIVE_FIELD,
             n_future_frames=cfg.N_FUTURE_FRAMES,
@@ -134,6 +163,8 @@ class FieryConfig:
             encoder_out_channels=cfg.MODEL.ENCODER.OUT_CHANNELS,
             use_depth_distribution=cfg.MODEL.ENCODER.USE_DEPTH_DISTRIBUTION,
             depth_topk=cfg.LIFT.TOPK,
+            warp_free=cfg.LIFT.WARP_FREE,
+            temporal_trim_train=cfg.MODEL.TEMPORAL_MODEL.TRIM_TRAIN,
             temporal_name=cfg.MODEL.TEMPORAL_MODEL.NAME,
             start_out_channels=cfg.MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS,
             extra_in_channels=cfg.MODEL.TEMPORAL_MODEL.EXTRA_IN_CHANNELS,
@@ -307,11 +338,14 @@ class Fiery(nn.Module):
         extrinsics = extrinsics[:, :rf]
         future_egomotion_in = future_egomotion[:, :rf]
 
-        x = self.calculate_birds_eye_view_features(image, intrinsics, extrinsics, train)
+        x = self.calculate_birds_eye_view_features(
+            image, intrinsics, extrinsics, train,
+            egomotion=future_egomotion_in if c.warp_free else None)
 
-        # warp past BEV features to the present frame (reference fiery.py:143-146)
-        x = cumulative_warp_features(
-            x, future_egomotion_in, mode='bilinear', spatial_extent=c.spatial_extent)
+        if not c.warp_free:
+            # warp past BEV features to the present frame (reference fiery.py:143-146)
+            x = cumulative_warp_features(
+                x, future_egomotion_in, mode='bilinear', spatial_extent=c.spatial_extent)
 
         if c.input_egopose:
             b, s = future_egomotion_in.shape[:2]
@@ -321,7 +355,15 @@ class Fiery(nn.Module):
             ego = jnp.concatenate([jnp.zeros_like(ego[:, :1]), ego[:, :rf - 1]], axis=1)
             x = jnp.concatenate([x, ego.astype(x.dtype)], axis=-1)
 
-        states = self.temporal_model(x, train)
+        # At eval the temporal stack is trimmed to the causal minimum: only the
+        # present frame survives the final slice, so each block emits one frame
+        # fewer than its input (exact under running-stat BN — temporal_model.py).
+        # TRIM_TRAIN extends it to training (approximate: BN batch stats).
+        trim = (not train) or c.temporal_trim_train
+        if trim and isinstance(self.temporal_model, TemporalModel):
+            states = self.temporal_model(x, train, trim=True)
+        else:
+            states = self.temporal_model(x, train)
 
         if c.n_future > 0:
             present_state = states[:, :1]
@@ -353,17 +395,34 @@ class Fiery(nn.Module):
             is_leaf=lambda t: t is None))
         return output
 
-    def calculate_birds_eye_view_features(self, x, intrinsics, extrinsics, train):
+    def calculate_birds_eye_view_features(self, x, intrinsics, extrinsics, train,
+                                          egomotion=None):
         """(b, s, n, H, W, 3) images -> (b, s, X, Y, C) BEV features.
 
-        Reference: fiery.py:275-286.
+        Reference: fiery.py:275-286. With ``egomotion`` (the warp-free lift,
+        cfg LIFT.WARP_FREE) the composed frame->present poses are applied to the
+        lift geometry, so every past frame splats directly into the present-frame
+        BEV grid and no post-splat feature warp is needed.
         """
+        c = self.cfg
         b, s, n = x.shape[:3]
         x = pack_sequence_dim(x)                   # (b*s, n, H, W, 3)
         intrinsics = pack_sequence_dim(intrinsics)
         extrinsics = pack_sequence_dim(extrinsics)
 
         geometry = get_geometry(self.frustum, intrinsics, extrinsics)  # (b*s, n, D, h, w, 3)
+        if egomotion is not None and s > 1:
+            geometry = unpack_sequence_dim(geometry, b, s)
+            poses = compose_poses_to_present(egomotion)        # (b, s-1, 6)
+            past = pack_sequence_dim(geometry[:, :-1])         # (b*(s-1), n, D, h, w, 3)
+            xy = warp_points_to_present(
+                past[..., :2], pack_sequence_dim(poses),
+                spatial_extent=c.spatial_extent,
+                bev_bounds=(c.x_bound[:2], c.y_bound[:2]))
+            past = jnp.concatenate([xy, past[..., 2:]], axis=-1)
+            geometry = jnp.concatenate(
+                [unpack_sequence_dim(past, b, s - 1), geometry[:, -1:]], axis=1)
+            geometry = pack_sequence_dim(geometry)
         bev = self.bev_lift(x, geometry, train)
         return unpack_sequence_dim(bev, b, s)      # (b, s, X, Y, C)
 

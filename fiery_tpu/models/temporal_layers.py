@@ -201,12 +201,15 @@ class PyramidSpatioTemporalPooling(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, drop_front: int = 0):
+        # drop_front=1: frame 0 of x is causal context only — the avg pool's
+        # out[0] (the special-cased sequence start) is dropped before the
+        # reduction conv, so only the kept frames pay conv+BN+resize cost.
         b, t, h, w, _ = x.shape
         out = []
         for pool_size in self.pool_sizes:
             assert pool_size[0] == 2, 'time kernel must be 2 (reference constraint)'
-            pooled = _causal_avg_pool3d(x, pool_size)
+            pooled = _causal_avg_pool3d(x, pool_size)[:, drop_front:]
             pooled = Conv1x1x1NormActivated(self.reduction_channels, self.bn_momentum,
                                             self.dtype)(pooled, train)
             pooled = resize_bilinear(pooled, (h, w))
@@ -217,6 +220,15 @@ class PyramidSpatioTemporalPooling(nn.Module):
 class TemporalBlock(nn.Module):
     """Parallel causal conv paths (2x3x3, 1x3x3, 1x1x1) + optional pyramid pooling,
     aggregated by a 1x1 conv, with a residual connection. Reference: temporal.py:218-281.
+
+    ``drop_front`` > 0 returns only output frames [drop_front:] while computing the
+    strict minimum of per-frame work: because every temporal kernel here has extent
+    <= 2, output frame t depends on input frames {t-1, t} only, so the prolog runs
+    on frames [drop_front-1:] and everything after the causal taps on the final
+    T - drop_front frames. Exact — the dropped leading frames never feed the kept
+    ones (causality); at eval (running-stat BN) the kept frames are bit-identical
+    to the full computation. In train mode BatchNorm batch statistics would change,
+    so callers only trim when train=False.
     """
     out_channels: Optional[int] = None
     use_pyramid_pooling: bool = False
@@ -225,47 +237,60 @@ class TemporalBlock(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, drop_front: int = 0):
         in_channels = x.shape[-1]
         out_channels = self.out_channels or in_channels
         half = in_channels // 2
+        s = drop_front
+        assert 0 <= s < x.shape[1]
 
         # The reference's three parallel paths (temporal.py:224-244) each start with a
         # 1x1x1 conv+BN+ReLU over the SAME input x, so the three prologs are fused into
         # one (3*half)-channel conv+BN (exact: BN is per-channel, concatenation along
         # channels is identity math). variance_scaling(6.0) on the (1, 1, C, 3*half)
         # kernel reproduces the per-branch kaiming fan_out = half variance.
+        # With trimming the prolog needs one leading context frame for the causal
+        # (2,3,3) tap: frames [s-1:]; running the causal conv on that slice treats
+        # frame s-1 as the sequence start (zero pre-pad), which corrupts only its
+        # OWN output frame — dropped below by the [1:] slice.
         prolog = Conv1x1x1NormActivated(
             3 * half, self.bn_momentum, self.dtype,
             kernel_init=nn.initializers.variance_scaling(6.0, 'fan_out', 'normal'),
-            name='prolog_fused')(x, train)
+            name='prolog_fused')(x[:, s - 1:] if s else x, train)
         paths = []
         for pi, kernel in enumerate([(2, 3, 3), (1, 3, 3)]):
             h = prolog[..., pi * half:(pi + 1) * half]
+            if s and kernel[0] == 1:
+                h = h[:, 1:]      # per-frame path: skip the context frame entirely
             h = CausalConv3d(half, kernel, bn_momentum=self.bn_momentum,
                              dtype=self.dtype)(h, train)
+            if s and kernel[0] != 1:
+                h = h[:, 1:]      # drop the zero-pre-pad-corrupted context frame
             paths.append(h)
-        paths.append(prolog[..., 2 * half:3 * half])
+        paths.append(prolog[:, 1:][..., 2 * half:3 * half] if s
+                     else prolog[..., 2 * half:3 * half])
         h = jnp.concatenate(paths, axis=-1)
 
         if self.use_pyramid_pooling:
             reduction = in_channels // 3
-            pooled = PyramidSpatioTemporalPooling(reduction, self.pool_sizes,
-                                                  self.bn_momentum, self.dtype)(x, train)
+            pooled = PyramidSpatioTemporalPooling(
+                reduction, self.pool_sizes, self.bn_momentum,
+                self.dtype)(x[:, s - 1:] if s else x, train, drop_front=min(s, 1))
             h = jnp.concatenate([h, pooled], axis=-1)
 
         h = Conv1x1x1NormActivated(out_channels, self.bn_momentum, self.dtype)(h, train)
 
+        xs = x[:, s:] if s else x
         if out_channels != in_channels:
-            b, t = x.shape[:2]
-            skip = pack_sequence_dim(x)
+            b, t = xs.shape[:2]
+            skip = pack_sequence_dim(xs)
             skip = nn.Conv(out_channels, (1, 1), use_bias=False, kernel_init=conv_init,
                            dtype=self.dtype, name='Conv_0')(skip)
             skip = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
                              name='BatchNorm_0')(skip, train)
             skip = unpack_sequence_dim(skip, b, t)
         else:
-            skip = x
+            skip = xs
         return skip + h
 
 

@@ -45,7 +45,16 @@ class TemporalModel(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, trim: bool = False):
+        # trim=True: only the present frame (index receptive_field-1) survives the
+        # final slice, and every temporal kernel has extent 2, so each TemporalBlock
+        # needs to emit exactly one output frame fewer than its input has
+        # (drop_front=1) — the stack converges to a single frame instead of
+        # computing receptive_field frames and discarding all but one. Exact when
+        # BatchNorm uses running statistics (eval); with train=True the BN batch
+        # statistics are computed over the trimmed frames only — the discarded
+        # frames influenced training solely through those statistics, so this is
+        # an off-parity approximation (cfg MODEL.TEMPORAL_MODEL.TRIM_TRAIN).
         h, w = self.input_shape
         block_out_channels = self.start_out_channels
         for _ in range(self.receptive_field - 1):
@@ -56,9 +65,9 @@ class TemporalModel(nn.Module):
                 pool_sizes=pool_sizes,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
-            )(x, train)
+            )(x, train, drop_front=1 if trim else 0)
             for _ in range(self.n_spatial_layers_between_temporal_layers):
                 x = Bottleneck3D(block_out_channels, kernel_size=(1, 3, 3),
                                  bn_momentum=self.bn_momentum, dtype=self.dtype)(x, train)
             block_out_channels += self.extra_in_channels
-        return x[:, self.receptive_field - 1:]
+        return x if trim else x[:, self.receptive_field - 1:]

@@ -191,6 +191,23 @@ def _affine_grid(theta, H, W):
     return jnp.einsum('...km,ijm->...ijk', theta, base)
 
 
+def _warp_theta(flow, spatial_extent, dtype):
+    """The SE(2) affine of ``warp_features`` in normalised grid coordinates.
+
+    flow: (b, 6) pose vectors. Returns (b, 2, 3) theta with the reference's sign
+    conventions (geometry.py:199-214): rows [cos, -sin, ty], [sin, cos, tx] with
+    tx = -flow_x / extent_x (forward axis inverted), ty = flow_y / extent_y.
+    """
+    b = flow.shape[0]
+    angle = flow[:, 5]
+    tx = -flow[:, 0] / spatial_extent[0]
+    ty = flow[:, 1] / spatial_extent[1]
+    cos_t, sin_t = jnp.cos(angle), jnp.sin(angle)
+    return jnp.stack(
+        [cos_t, -sin_t, ty, sin_t, cos_t, tx], axis=-1
+    ).reshape(b, 2, 3).astype(dtype)
+
+
 def warp_features(x, flow, mode='nearest', spatial_extent=None):
     """SE(2) warp of BEV maps. x: (b, H, W, C) NHWC, flow: (b, 6) 6-DoF pose vector.
 
@@ -201,18 +218,61 @@ def warp_features(x, flow, mode='nearest', spatial_extent=None):
     if flow is None:
         return x
     b, H, W, _ = x.shape
-    angle = flow[:, 5]
-    # normalise translation by half-extent; forward axis inverted (geometry.py:199-203)
-    tx = -flow[:, 0] / spatial_extent[0]
-    ty = flow[:, 1] / spatial_extent[1]
-
-    cos_t, sin_t = jnp.cos(angle), jnp.sin(angle)
-    # rows stacked as in reference geometry.py:213-214: [cos, -sin, ty], [sin, cos, tx]
-    theta = jnp.stack(
-        [cos_t, -sin_t, ty, sin_t, cos_t, tx], axis=-1
-    ).reshape(b, 2, 3).astype(x.dtype)
+    theta = _warp_theta(flow, spatial_extent, x.dtype)
     grid = _affine_grid(theta, H, W)
     return grid_sample_2d(x, grid, mode=mode)
+
+
+def compose_poses_to_present(flow):
+    """Compose incremental poses to per-past-frame present-relative pose vectors.
+
+    flow: (b, t, 6) pose from frame i to i+1. Returns (b, t-1, 6): entry i is
+    flow[i] @ ... @ flow[t-2] — exactly the pose ``cumulative_warp_features``
+    warps frame i by (the present frame t-1 needs none).
+    """
+    b, seq_len = flow.shape[:2]
+    flow_mat = pose_vec2mat(flow)
+    mats = [flow_mat[:, -2]]
+    for t in reversed(range(seq_len - 2)):
+        mats.append(flow_mat[:, t] @ mats[-1])
+    return mat2pose_vec(jnp.stack(mats[::-1], axis=1))
+
+
+def warp_points_to_present(points_xy, flow, spatial_extent, bev_bounds):
+    """Map frame-t metric BEV points to the present frame — the exact inverse of
+    ``warp_features``' sampling affine, in point space.
+
+    A feature splatted at frame-t position q and then bilinearly warped by
+    ``warp_features(·, flow)`` appears at present positions p with q = A(p)
+    (A = the theta affine in normalised coordinates); transforming the splat
+    points by A^{-1} instead makes the splat land directly in the present grid —
+    no feature warp, no bilinear blur, one fewer HBM pass over the BEV volume
+    (the warp-free lift, cfg LIFT.WARP_FREE).
+
+    points_xy: (..., 2) metric (X, Y) with leading batch axis matching flow;
+    flow: (b, 6); bev_bounds: ((x_lo, x_hi), (y_lo, y_hi)) static floats.
+    Normalised coords relate to metric via X = c_x + h_x * by (pixel centres of
+    ``_affine_grid`` hit bin centres exactly: X(i) = x_lo + res/2 + i*res), so
+    A^{-1} in metric space is a rotation with aspect a = h_x / h_y plus the
+    extent-scaled translation — see the derivation in tests/test_warp.py.
+    """
+    (x_lo, x_hi), (y_lo, y_hi) = bev_bounds
+    c_x, h_x = (x_lo + x_hi) / 2.0, (x_hi - x_lo) / 2.0
+    c_y, h_y = (y_lo + y_hi) / 2.0, (y_hi - y_lo) / 2.0
+    a = h_x / h_y
+    dt = points_xy.dtype
+    angle = flow[:, 5].astype(dt)
+    # the theta translation in metric units of the OUTPUT grid axes
+    fx = (flow[:, 0] * (h_x / spatial_extent[0])).astype(dt)
+    fy = (flow[:, 1] * (h_y / spatial_extent[1])).astype(dt)
+    cos_t, sin_t = jnp.cos(angle), jnp.sin(angle)
+    shape = (-1,) + (1,) * (points_xy.ndim - 2)
+    cos_t, sin_t = cos_t.reshape(shape), sin_t.reshape(shape)
+    p = points_xy[..., 0] - c_x + fx.reshape(shape)
+    q = points_xy[..., 1] - c_y - fy.reshape(shape)
+    x_p = c_x + cos_t * p - (a * sin_t) * q
+    y_p = c_y + (sin_t / a) * p + cos_t * q
+    return jnp.stack([x_p, y_p], axis=-1)
 
 
 def cumulative_warp_features(x, flow, mode='nearest', spatial_extent=None):
@@ -225,14 +285,9 @@ def cumulative_warp_features(x, flow, mode='nearest', spatial_extent=None):
     b, seq_len = x.shape[:2]
     if seq_len == 1:
         return x
-    flow_mat = pose_vec2mat(flow)
-
     # compose the (tiny) cumulative pose matrices, then warp every past frame in a
     # single batched gather instead of one dispatch per frame
-    mats = [flow_mat[:, -2]]
-    for t in reversed(range(seq_len - 2)):
-        mats.append(flow_mat[:, t] @ mats[-1])
-    poses = mat2pose_vec(jnp.stack(mats[::-1], axis=1))        # (b, seq_len-1, 6)
+    poses = compose_poses_to_present(flow)                     # (b, seq_len-1, 6)
     warped = warp_features(
         x[:, :-1].reshape(b * (seq_len - 1), *x.shape[2:]),
         poses.reshape(b * (seq_len - 1), 6),

@@ -259,6 +259,12 @@ _C.LIFT.DEPTH_CULL = False
 # ~55M rows/s, so TOPK=8 cuts the dominant scatter ~6x (ops/lift_splat.py
 # lift_splat_topk). Exclusive with DEPTH_CULL.
 _C.LIFT.TOPK = 0
+# warp-free lift: fold the composed ego-motion into the lift geometry so past
+# frames splat directly into the present BEV grid — removes the post-splat
+# bilinear feature warp (and its backward scatter) from the graph. Same
+# continuous-space maths, different discretisation: off the parity path,
+# like TOPK (with which it composes). Exclusive with DEPTH_CULL.
+_C.LIFT.WARP_FREE = False
 _C.LIFT.CULL_T_MARGIN = 0.5      # metres of translation slack in the envelope
 _C.LIFT.CULL_ROT_MARGIN = 2.0    # degrees of rotation slack
 
@@ -276,6 +282,12 @@ _C.MODEL.TEMPORAL_MODEL.EXTRA_IN_CHANNELS = 0
 _C.MODEL.TEMPORAL_MODEL.INBETWEEN_LAYERS = 0
 _C.MODEL.TEMPORAL_MODEL.PYRAMID_POOLING = True
 _C.MODEL.TEMPORAL_MODEL.INPUT_EGOPOSE = True
+# trim the temporal stack to the causal minimum in TRAINING too (the eval graph
+# always trims — exact under running-stat BN): each TemporalBlock emits one
+# frame fewer than its input instead of computing all receptive_field frames
+# and discarding every one but the present. Approximate — BN batch statistics
+# are computed over the kept frames only (models/temporal_model.py).
+_C.MODEL.TEMPORAL_MODEL.TRIM_TRAIN = False
 
 _C.MODEL.DISTRIBUTION = CN()
 _C.MODEL.DISTRIBUTION.LATENT_DIM = 32

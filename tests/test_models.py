@@ -152,6 +152,45 @@ def test_temporal_model_shapes():
     assert out.shape == (1, 1, 8, 8, 16)
 
 
+@pytest.mark.parametrize('extra,inbetween,pyramid', [(0, 0, True), (4, 1, True),
+                                                     (0, 0, False)])
+def test_temporal_model_trim_exact_at_eval(extra, inbetween, pyramid):
+    """Causal trimming (drop_front) must be bit-for-bit the full eval computation.
+
+    Covers the pyramid-pooling path, the channel-changing skip projection
+    (extra_in_channels>0 makes out_channels != in_channels), and in-between
+    spatial Bottleneck3Ds. Non-trivial BN running stats come from one
+    batch-stats-mutating train apply first.
+    """
+    model = TemporalModel(receptive_field=4, input_shape=(8, 8),
+                          start_out_channels=16, extra_in_channels=extra,
+                          n_spatial_layers_between_temporal_layers=inbetween,
+                          use_pyramid_pooling=pyramid)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 4, 8, 8, 12).astype(np.float32))
+    variables = model.init({'params': jax.random.key(0)}, x, train=True)
+    _, mutated = model.apply(variables, x, train=True, mutable=['batch_stats'])
+    variables = {**variables, **mutated}
+    full = model.apply(variables, x, train=False)
+    trimmed = model.apply(variables, x, train=False, trim=True)
+    assert full.shape == trimmed.shape == (2, 1, 8, 8, 16 + 2 * extra)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(trimmed))
+
+
+def test_temporal_model_trim_train_mode_runs():
+    """TRIM_TRAIN path: train-mode trimming computes BN batch stats over the kept
+    frames only (approximate — off parity); it must run, mutate batch_stats, and
+    keep the output finite at the trimmed shape."""
+    model = TemporalModel(receptive_field=3, input_shape=(8, 8), start_out_channels=16)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 3, 8, 8, 12).astype(np.float32))
+    variables = model.init({'params': jax.random.key(0)}, x, train=True)
+    out, mutated = model.apply(variables, x, train=True, trim=True,
+                               mutable=['batch_stats'])
+    assert out.shape == (2, 1, 8, 8, 16)
+    assert bool(jnp.isfinite(out).all())
+    leaves = jax.tree.leaves(mutated['batch_stats'])
+    assert leaves and any(bool(jnp.abs(l).sum() > 0) for l in leaves)
+
+
 def test_distribution_module():
     model = DistributionModule(latent_dim=8, min_log_sigma=-5.0, max_log_sigma=5.0)
     x = jnp.asarray(np.random.RandomState(0).randn(2, 1, 32, 32, 16).astype(np.float32))
@@ -214,6 +253,21 @@ def test_fiery_forward_full():
     assert out['present_mu'].shape == (1, 1, 4)
     assert out['future_mu'].shape == (1, 1, 4)
     assert 'batch_stats' in variables
+
+
+def test_depth_cull_cfg_exclusivity():
+    """LIFT.DEPTH_CULL must be rejected at the cfg surface when combined with
+    LIFT.TOPK or LIFT.WARP_FREE — the rig-dependent depth_keep counts are only
+    computed at Trainer construction, so without this early guard the
+    contradiction would surface late (or never, for eval-only graphs)."""
+    from fiery_tpu.utils.config import get_cfg
+    for extra in ({'TOPK': 8}, {'WARP_FREE': True}):
+        cfg = get_cfg(cfg_dict={'LIFT': {'DEPTH_CULL': True, **extra}})
+        with pytest.raises(ValueError, match='DEPTH_CULL is exclusive'):
+            FieryConfig.from_cfg(cfg)
+    # each alone is fine
+    FieryConfig.from_cfg(get_cfg(cfg_dict={'LIFT': {'DEPTH_CULL': True}}))
+    FieryConfig.from_cfg(get_cfg(cfg_dict={'LIFT': {'WARP_FREE': True}}))
 
 
 def test_fiery_topk_sparse_splat_forward():

@@ -13,7 +13,9 @@ timeout 2400 python bench.py --warp-free
 timeout 2400 python bench.py --topk 8 --prewarp --warp-free
 # 3b. trim-train A/B on the best train config
 timeout 2400 python bench.py --topk 8 --prewarp --warp-free --trim-train
-# 4. eval serving: trim now default (vs r2 30.15 clips/s at topk8)
-timeout 1800 python bench.py --mode eval --topk 8
+# 4. eval serving: trim now default (vs r2 30.15 clips/s at topk8, bf16 folded)
+timeout 1800 python bench.py --mode eval --topk 8 --precision 16
 # 5. eval serving + warp-free
-timeout 1800 python bench.py --mode eval --topk 8 --warp-free
+timeout 1800 python bench.py --mode eval --topk 8 --warp-free --precision 16
+# 6. eval serving e2e at best config (vs r2 16.45 at topk8)
+timeout 1800 python bench.py --mode eval-e2e --topk 8 --warp-free --precision 16

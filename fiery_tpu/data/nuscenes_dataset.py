@@ -432,21 +432,22 @@ class FuturePredictionDataset:
 def build_real_datasets(cfg):
     """Instantiate the index + train/val datasets. Reference: data.py:429-450.
 
-    nuScenes indexing is self-contained (fiery_tpu.data.nuscenes_indexer reads the
-    plain-JSON tables directly — no devkit needed); Lyft still needs its SDK."""
+    Both datasets are indexed self-contained (fiery_tpu.data.nuscenes_indexer
+    reads the plain-JSON tables directly): Lyft Level-5 ships the same table
+    schema, just under ``<dataroot>/train_data`` — no devkit / lyft SDK import
+    anywhere in the real-data path."""
+    from fiery_tpu.data.nuscenes_indexer import NuScenesIndex
     version = cfg.DATASET.VERSION
     if cfg.DATASET.NAME == 'nuscenes':
-        from fiery_tpu.data.nuscenes_indexer import NuScenesIndex
         dataroot = os.path.join(cfg.DATASET.DATAROOT, version)
         nusc = NuScenesIndex(version=f'v1.0-{version}', dataroot=dataroot,
                              verbose=False)
         is_lyft = False
     elif cfg.DATASET.NAME == 'lyft':
-        from lyft_dataset_sdk.lyftdataset import LyftDataset
         dataroot = os.path.join(cfg.DATASET.DATAROOT, 'trainval')
-        nusc = LyftDataset(data_path=dataroot,
-                           json_path=os.path.join(dataroot, 'train_data'),
-                           verbose=True)
+        nusc = NuScenesIndex(version='lyft', dataroot=dataroot,
+                             table_root=os.path.join(dataroot, 'train_data'),
+                             verbose=False)
         is_lyft = True
     else:
         raise ValueError(cfg.DATASET.NAME)

@@ -38,12 +38,19 @@ class NuScenesIndex:
     version: full version string, e.g. ``v1.0-mini`` / ``v1.0-trainval``.
     dataroot: directory that contains the ``<version>/`` table dir and the
     ``samples/``/``sweeps/`` media dirs.
+    table_root: explicit table directory override. The Lyft Level-5 dataset
+    uses the exact same JSON table schema but keeps its tables in
+    ``<dataroot>/train_data`` instead of ``<dataroot>/<version>`` (the
+    reference passes that as ``json_path`` to the Lyft SDK, data.py:403-416);
+    passing it here makes this index a drop-in for ``LyftDataset`` too —
+    no SDK import anywhere in the real-data path.
     """
 
-    def __init__(self, version, dataroot, verbose=False):
+    def __init__(self, version, dataroot, verbose=False, table_root=None):
         self.version = version
         self.dataroot = dataroot
-        table_root = os.path.join(dataroot, version)
+        self.data_path = dataroot   # LyftDataset-compatible alias
+        table_root = table_root or os.path.join(dataroot, version)
         if not os.path.isdir(table_root):
             raise FileNotFoundError(
                 f'nuScenes table dir not found: {table_root} '

@@ -21,10 +21,14 @@ from fiery_tpu.utils.config import get_cfg
 pytestmark = pytest.mark.fast
 
 
-def _write_fixture_tree(root):
+def _write_fixture_tree(root, lyft=False):
     """2 scenes (one mini_train, one mini_val) x 4 samples, 2 cams + lidar,
-    1 moving car + 1 pedestrian (filtered) + 1 invisible car (filtered)."""
-    table_dir = os.path.join(root, 'v1.0-mini')
+    1 moving car + 1 pedestrian (filtered) + 1 invisible car (filtered).
+
+    With ``lyft=True`` the same tree is written Lyft-Level-5-shaped: tables in
+    ``train_data/`` and plain category names ('car', 'pedestrian') — the Lyft
+    dataset ships the identical JSON schema (reference data.py:403-416)."""
+    table_dir = os.path.join(root, 'train_data' if lyft else 'v1.0-mini')
     os.makedirs(table_dir, exist_ok=True)
     os.makedirs(os.path.join(root, 'samples'), exist_ok=True)
 
@@ -39,8 +43,11 @@ def _write_fixture_tree(root):
                'sample_data', 'sample_annotation']}
 
     tables['category'] = [
-        {'token': 'cat_car', 'name': 'vehicle.car', 'description': ''},
-        {'token': 'cat_ped', 'name': 'human.pedestrian.adult', 'description': ''},
+        {'token': 'cat_car',
+         'name': 'car' if lyft else 'vehicle.car', 'description': ''},
+        {'token': 'cat_ped',
+         'name': 'pedestrian' if lyft else 'human.pedestrian.adult',
+         'description': ''},
     ]
     tables['visibility'] = [
         {'token': str(v), 'level': f'v{v}', 'description': ''} for v in range(1, 5)]
@@ -198,6 +205,47 @@ def test_build_real_datasets_end_to_end(dataroot, cfg):
     assert (sample['instance'][0] == sample['instance'][1]).all()
     # future egomotion = pose of frame t in frame t+1: ego advances +2 m in x,
     # so the old origin sits at -2 m in the next frame
+    np.testing.assert_allclose(sample['future_egomotion'][0, :3], [-2.0, 0, 0],
+                               atol=1e-5)
+
+
+@pytest.fixture(scope='module')
+def lyft_dataroot(tmp_path_factory):
+    # layout: <parent>/trainval/{train_data/*.json, samples/*} —
+    # build_real_datasets joins DATAROOT/'trainval' and points the index at
+    # the 'train_data' table dir (nuscenes_dataset.py lyft branch)
+    parent = str(tmp_path_factory.mktemp('lyft_tree'))
+    root = os.path.join(parent, 'trainval')
+    os.makedirs(root)
+    return _write_fixture_tree(root, lyft=True)
+
+
+def test_lyft_index_end_to_end(lyft_dataroot, cfg, monkeypatch):
+    """Vendored-index Lyft path: same JSON schema, train_data/ table dir,
+    index-based splits, plain category names, NO visibility filtering."""
+    from fiery_tpu.data import nuscenes_dataset
+    from fiery_tpu.data.nuscenes_dataset import build_real_datasets
+    # the real split constants index 180 scenes; the fixture has 2
+    monkeypatch.setattr(nuscenes_dataset, 'TRAIN_LYFT_INDICES', [0])
+    monkeypatch.setattr(nuscenes_dataset, 'VAL_LYFT_INDICES', [1])
+    cfg = cfg.clone()
+    cfg.defrost()
+    cfg.DATASET.NAME = 'lyft'
+    cfg.DATASET.DATAROOT = os.path.dirname(lyft_dataroot)
+    cfg.freeze()
+    train, val = build_real_datasets(cfg)
+    assert {r['scene_token'] for r in train.ixes} == {'scene0'}
+    assert {r['scene_token'] for r in val.ixes} == {'scene1'}
+    assert len(train) == 2 and len(val) == 2
+
+    sample = train[0]
+    assert sample['image'].shape == (3, 2, 24, 48, 3)
+    # Lyft keeps BOTH cars: 'car' passes the category list and the
+    # low-visibility ghost is NOT filtered (visibility is nuScenes-only);
+    # the pedestrian is category-filtered
+    assert set(np.unique(sample['instance'])) == {0, 1, 2}
+    # lyft attribute label is always 0 (reference data.py:269-275)
+    assert set(np.unique(sample['attribute'])) == {0}
     np.testing.assert_allclose(sample['future_egomotion'][0, :3], [-2.0, 0, 0],
                                atol=1e-5)
 

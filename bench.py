@@ -3,10 +3,19 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (+ measured
 extras: ms_per_step, tflops_per_clip, achieved_tflops, mfu).
 
-Headline protocol: full training step (forward + backward + adamw update, losses incl.
-label warping) of the baseline model — 6 cameras, 224x480, T=3 past / 4 future frames,
-BEV 200x200 — at the reference per-GPU batch size 3 and PRECISION 16 (bf16 compute, as
-the reference trains fp16: baseline.yml:6). Metric = training clips/sec/chip.
+Headline protocol: full training step (forward + backward + Adam update, losses) of
+the baseline model — 6 cameras, 224x480, T=3 past / 4 future frames, BEV 200x200 —
+at the reference per-GPU batch size 3 and PRECISION 16 (bf16 compute, as the
+reference trains fp16: baseline.yml:6). Metric = training clips/sec/chip.
+
+The DEFAULT run (no flags) measures the BEST config — the round-2/3 levers
+LIFT.TOPK=8 (sparse top-k splat) + DATASET.PREWARP_LABELS (host label warp) +
+LIFT.WARP_FREE (ego-motion folded into the lift geometry) — and ALSO measures the
+exact dense parity config in the same process, reported as dense_parity_* in the
+same JSON line. TOPK/WARP_FREE are approximations (accuracy cost quantified in
+README 'Accuracy cost of the throughput levers'); PREWARP is exact.
+``--dense`` pins the headline to the parity config alone; any explicit lever flag
+measures exactly that config (no second measurement).
 
 vs_baseline: ALWAYS value / 4.5 estimated reference clips/s — the round-1
 semantics, restored after the round-2 ADVICE flagged that silently switching it
@@ -375,9 +384,13 @@ def main():
     parser.add_argument('--batch', default=None, type=int)
     parser.add_argument('--devices', default=8, type=int,
                         help='dp mode: virtual CPU mesh size')
+    parser.add_argument('--dense', action='store_true',
+                        help='train mode: measure ONLY the exact dense parity '
+                             'config (the default measures the best config '
+                             'plus dense parity alongside)')
     parser.add_argument('--topk', default=0, type=int,
                         help='train mode: LIFT.TOPK sparse-splat depth bins '
-                             '(0 = dense exact splat; headline protocol)')
+                             '(0 = dense exact splat)')
     parser.add_argument('--prewarp', action='store_true',
                         help='train mode: pre-warp GT labels on the host data '
                              'pipeline (DATASET.PREWARP_LABELS) — the device '
@@ -404,19 +417,42 @@ def main():
     if args.mode == 'train':
         batch = args.batch or 3
         precision = args.precision or 16
-        value, extras = bench_train(batch, precision, args.iters, args.topk,
-                                    args.prewarp, args.warp_free,
-                                    args.trim_train)
+        explicit = (args.topk or args.prewarp or args.warp_free
+                    or args.trim_train or args.dense)
+        if not explicit:
+            # headline: best measured config, with the exact dense parity
+            # number measured alongside in the same process
+            value, extras = bench_train(batch, precision, args.iters, topk=8,
+                                        prewarp=True, warp_free=True)
+            extras['headline_config'] = (
+                'LIFT.TOPK=8 + DATASET.PREWARP_LABELS + LIFT.WARP_FREE '
+                '(TOPK/WARP_FREE approximate — see README accuracy table; '
+                'PREWARP exact)')
+            try:
+                dense_value, dense_extras = bench_train(
+                    batch, precision, args.iters)
+                extras['dense_parity_clips_per_sec'] = round(dense_value, 4)
+                extras['dense_parity_ms_per_step'] = dense_extras['ms_per_step']
+                for key in ('roofline_fraction', 'roofline_fraction_modeled'):
+                    if key in dense_extras:
+                        extras[f'dense_parity_{key}'] = dense_extras[key]
+            except Exception as e:   # never lose the headline to the A/B
+                extras['dense_parity_error'] = f'{type(e).__name__}: {e}'[:200]
+            metric = 'best_config_train_clips_per_sec_per_chip'
+        else:
+            value, extras = bench_train(batch, precision, args.iters, args.topk,
+                                        args.prewarp, args.warp_free,
+                                        args.trim_train)
+            metric = 'baseline_train_clips_per_sec_per_chip'
+            if args.topk:
+                metric = f'topk{args.topk}_train_clips_per_sec_per_chip'
+            if args.prewarp:
+                metric = 'prewarp_' + metric
+            if args.warp_free:
+                metric = 'warpfree_' + metric
+            if args.trim_train:
+                metric = 'trimtrain_' + metric
         ref = ESTIMATED_REFERENCE_TRAIN_CLIPS_PER_SEC
-        metric = 'baseline_train_clips_per_sec_per_chip'
-        if args.topk:
-            metric = f'topk{args.topk}_train_clips_per_sec_per_chip'
-        if args.prewarp:
-            metric = 'prewarp_' + metric
-        if args.warp_free:
-            metric = 'warpfree_' + metric
-        if args.trim_train:
-            metric = 'trimtrain_' + metric
     elif args.mode == 'train-e2e':
         batch = args.batch or 3
         precision = args.precision or 16

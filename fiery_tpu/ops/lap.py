@@ -20,12 +20,22 @@ import jax.numpy as jnp
 _INF = jnp.float32(jnp.inf)
 
 
-def linear_sum_assignment(cost):
+def linear_sum_assignment(cost, n_rows=None):
     """col4row: for each row i the assigned column j, minimizing sum cost[i, j].
 
     cost: (n, n) float32 matrix with finite entries. Returns int32 (n,).
     Matches scipy.optimize.linear_sum_assignment on square inputs (up to
     tie-breaking between equal-cost optima).
+
+    n_rows (optional, traced int): only augment rows [0, n_rows). The solver is
+    sequential over rows (each augmentation is a Dijkstra while_loop), so on a
+    padded problem where only the first m rows are real — instance tracking pads
+    2-20 live tracks to a fixed 101-slot matrix — restricting to them cuts the
+    serial depth 5-50x. Exact for the kept rows: the skipped padding rows have
+    one uniform cost for every column, so every completion of the sub-assignment
+    has the same total and the sub-problem optimum is the full-problem optimum
+    restricted to the kept rows (tie-breaking among equal-cost optima can
+    differ). Rows >= n_rows get col4row = -1.
     """
     cost = jnp.asarray(cost, jnp.float32)
     n = cost.shape[0]
@@ -102,6 +112,17 @@ def linear_sum_assignment(cost):
 
     init = (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
             jnp.full((n,), -1, jnp.int32), jnp.full((n,), -1, jnp.int32))
-    (u, v, row4col, col4row), _ = jax.lax.scan(
-        augment, init, jnp.arange(n, dtype=jnp.int32))
+    if n_rows is None:
+        (u, v, row4col, col4row), _ = jax.lax.scan(
+            augment, init, jnp.arange(n, dtype=jnp.int32))
+        return col4row
+
+    def row_body(carry):
+        state, cur_row = carry
+        state, _ = augment(state, cur_row)
+        return state, cur_row + 1
+
+    n_rows = jnp.minimum(jnp.asarray(n_rows, jnp.int32), n)
+    (_, _, _, col4row), _ = jax.lax.while_loop(
+        lambda c: c[1] < n_rows, row_body, (init, jnp.int32(0)))
     return col4row

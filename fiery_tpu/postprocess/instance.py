@@ -302,9 +302,16 @@ def make_instance_id_temporally_consistent_device(pred_inst, future_flow,
         clip = jnp.float32(10.0 * matching_threshold)
         big = jnp.float32(1e4)
         cost = jnp.where(valid_pair, jnp.minimum(dist, clip), big)
-        col4row = linear_sum_assignment(cost)
-        row4col = jnp.zeros((K,), jnp.int32).at[col4row].set(
-            jnp.arange(K, dtype=jnp.int32))
+        # Only rows 0..m (the compacted valid previous tracks, plus the always-
+        # invalid row 0) are augmented: the JV solver is sequential over rows,
+        # and the 100-slot padding was costing ~50x the serial depth of the
+        # 2-20 real tracks of a scene (exactness argument in ops/lap.py).
+        n_valid_rows = jnp.sum(prev_valid.astype(jnp.int32)) + 1
+        col4row = linear_sum_assignment(cost, n_rows=n_valid_rows)
+        # skipped rows return col4row = -1; route them out of the scatter
+        scatter_cols = jnp.where(col4row < 0, K, col4row)
+        row4col = jnp.zeros((K,), jnp.int32).at[scatter_cols].set(
+            jnp.arange(K, dtype=jnp.int32), mode='drop')
         cur_ids = jnp.arange(K)
         best_prev = prev_slot_ids[row4col]                   # actual prev id per cur
         dsel = dist[row4col, cur_ids]                        # unclipped pair distance

@@ -47,6 +47,27 @@ def test_lap_rectangular_padding():
                                C[r, c].sum(), rtol=1e-5)
 
 
+def test_lap_n_rows_restricted():
+    """n_rows-restricted augmentation (the tracker's serial-depth cut) returns
+    the rectangular optimum for the kept rows and -1 for skipped rows."""
+    rng = np.random.RandomState(2)
+    fn = jax.jit(linear_sum_assignment)
+    for n_r, n_c, K in [(1, 3, 8), (4, 4, 16), (7, 12, 101), (0, 5, 9)]:
+        C = rng.rand(max(n_r, 1), n_c).astype(np.float32) * 10
+        P = np.full((K, K), 1e4, np.float32)
+        if n_r:
+            P[:n_r, :n_c] = C[:n_r]
+        col4row = np.asarray(fn(jnp.asarray(P), n_rows=jnp.int32(n_r)))
+        assert (col4row[n_r:] == -1).all(), 'skipped rows must stay unassigned'
+        if n_r == 0:
+            continue
+        assert (col4row[:n_r] < n_c).all()
+        assert len(set(col4row[:n_r].tolist())) == n_r, 'duplicate columns'
+        r, c = scipy.optimize.linear_sum_assignment(C[:n_r].astype(np.float64))
+        np.testing.assert_allclose(C[np.arange(n_r), col4row[:n_r]].sum(),
+                                   C[r, c].sum(), rtol=1e-5)
+
+
 def test_lap_degenerate():
     # 1x1 and identical-cost matrices still produce valid permutations
     assert int(jax.jit(linear_sum_assignment)(jnp.zeros((1, 1)))[0]) == 0

@@ -1,17 +1,23 @@
-"""Execute the multi-process distributed path for real: 2 localhost processes.
+"""Execute the multi-process distributed path for real: localhost processes.
 
 Until now the multi-host branches (jax.distributed.initialize, shard_batch's
 make_array_from_process_local_data, the process_allgather metric sum) had never
-run with process_count > 1 anywhere. This test spawns 2 CPU processes with a
-localhost coordinator (tools/multiprocess_check.py), each holding half of the
-global batch, and asserts:
-  * both processes complete 2 jitted DP train steps over the global 4-device mesh;
+run with process_count > 1 anywhere. These tests spawn real CPU processes with
+a localhost coordinator (tools/multiprocess_check.py), each holding its slice
+of the global batch, and assert:
+  * every process completes 2 jitted DP train steps over the global mesh;
   * per-step losses agree across processes (replicated out-shardings) AND with a
     single-process run of the same global batch (gradient psum + global sync-BN
     parity across the process boundary);
   * the allgather-summed IoU state equals the unsharded global metric.
+
+Two topologies: 2 processes x 2 devices on a pure-DP 1-D mesh, and 4 processes
+x 2 devices on a 2-D (data=4, model=2) mesh with the camera axis sharded over
+process-local device pairs (train.py --camera-parallel) — the closest a
+localhost run gets to a pod's (DCN data, ICI model) layout.
 """
 
+import functools
 import json
 import os
 import socket
@@ -35,29 +41,35 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_distributed_training(tmp_path):
+def _spawn_processes(tmp_path, num_processes, local_devices, n_model=1):
+    """Run tools/multiprocess_check.py across num_processes localhost processes
+    with local_devices virtual CPU devices each; returns the per-process JSONs."""
     port = _free_port()
     env = dict(os.environ)
-    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+    env['XLA_FLAGS'] = f'--xla_force_host_platform_device_count={local_devices}'
     env['GLOO_SOCKET_IFNAME'] = 'lo'  # sandboxed net: gloo must use loopback
     env.pop('JAX_PLATFORMS', None)
-    outs = [str(tmp_path / f'proc{i}.json') for i in range(2)]
+    outs = [str(tmp_path / f'proc{i}.json') for i in range(num_processes)]
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, 'tools', 'multiprocess_check.py'),
-             str(i), '2', str(port), outs[i]],
+             str(i), str(num_processes), str(port), outs[i], str(n_model)],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(2)]
-    logs = [p.communicate(timeout=1200)[0].decode() for p in procs]
+        for i in range(num_processes)]
+    logs = [p.communicate(timeout=1800)[0].decode() for p in procs]
     for i, p in enumerate(procs):
         assert p.returncode == 0, f'process {i} failed:\n{logs[i][-4000:]}'
-
     results = []
     for path in outs:
         with open(path) as f:
             results.append(json.load(f))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_distributed_training(tmp_path):
+    results = _spawn_processes(tmp_path, num_processes=2, local_devices=2)
 
     assert results[0]['n_global_devices'] == 4
     # replicated metrics agree bit-for-bit across processes
@@ -69,7 +81,47 @@ def test_two_process_distributed_training(tmp_path):
     np.testing.assert_allclose(results[0]['iou_allgather'],
                                results[0]['iou_global_ref'], rtol=1e-6)
 
-    # single-process reference: same global batch, same steps, one process
+    # the 2-process run must reproduce the single-process global computation.
+    # f32 reduction order differs with the device partitioning (measured: 1e-5
+    # rel at step 1, ~2e-4 at step 2 after one Adam update) — anything beyond
+    # 1e-3 would indicate a semantic divergence (wrong psum/BN scope).
+    np.testing.assert_allclose(results[0]['losses'],
+                               _single_process_reference_losses(),
+                               rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_four_process_2d_mesh_camera_parallel(tmp_path):
+    """4 processes x 2 virtual devices, (data=4, model=2) mesh: every data row
+    is a process-local device pair (camera gathers stay in-process, like
+    in-slice ICI on a pod) while the gradient psum and global sync-BN span all
+    4 process boundaries — then the whole thing must still reproduce the
+    single-process computation."""
+    results = _spawn_processes(tmp_path, num_processes=4, local_devices=2,
+                               n_model=2)
+
+    assert results[0]['n_global_devices'] == 8
+    # replicated metrics agree bit-for-bit across all 4 processes
+    for r in results[1:]:
+        assert r['losses'] == results[0]['losses']
+        assert r['params_abs_sum'] == pytest.approx(
+            results[0]['params_abs_sum'], rel=1e-6)
+    np.testing.assert_allclose(results[0]['iou_allgather'],
+                               results[0]['iou_global_ref'], rtol=1e-6)
+
+    # same global batch (4 = 8 devices / n_model 2) as the 2-process case, so
+    # the same single-process reference applies — camera sharding must not
+    # change the math (test_parallel.py proves the same for 1 process)
+    np.testing.assert_allclose(results[0]['losses'],
+                               _single_process_reference_losses(),
+                               rtol=1e-3, atol=1e-6)
+
+
+@functools.lru_cache(maxsize=1)
+def _single_process_reference_losses():
+    """2 train-step losses of the same global batch on one process
+    (4 virtual devices, pure DP). Cached: both tests compare against the same
+    global computation."""
     from fiery_tpu.data.synthetic import SyntheticFutureDataset
     from fiery_tpu.parallel.mesh import create_mesh, replicated, shard_batch
     from fiery_tpu.training.trainer import Trainer
@@ -109,10 +161,4 @@ def test_two_process_distributed_training(tmp_path):
     for _ in range(2):
         state, metrics = step(state, batch, key_data)
         ref_losses.append(float(metrics['total_loss']))
-
-    # the 2-process run must reproduce the single-process global computation.
-    # f32 reduction order differs with the device partitioning (measured: 1e-5
-    # rel at step 1, ~2e-4 at step 2 after one Adam update) — anything beyond
-    # 1e-3 would indicate a semantic divergence (wrong psum/BN scope).
-    np.testing.assert_allclose(results[0]['losses'], ref_losses,
-                               rtol=1e-3, atol=1e-6)
+    return ref_losses

@@ -18,7 +18,13 @@ Reference equivalent: Lightning's one-DDP-process-per-GPU spawn
 (/root/reference/train.py:33-45).
 
 Usage:
-  python tools/multiprocess_check.py <process_id> <num_processes> <port> <out.json>
+  python tools/multiprocess_check.py <process_id> <num_processes> <port> <out.json> [n_model]
+
+With ``n_model`` > 1 the mesh is 2-D (data, model) and the CAMERA axis of the
+inputs is sharded over the model axis (train.py --camera-parallel): with 4
+processes x 2 local devices and n_model=2, every data row of the mesh spans a
+process-local device pair while the gradient psum crosses all 4 processes —
+the closest a localhost run gets to a pod topology.
 
 Each process writes JSON with per-step losses, the allgather-summed IoU, and a
 params checksum; the parent asserts cross-process agreement and parity with a
@@ -33,6 +39,7 @@ import sys
 def main():
     process_id, num_processes, port, out_path = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    n_model = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     import jax
     jax.config.update('jax_platforms', 'cpu')
@@ -71,7 +78,10 @@ def main():
                   'FUTURE_PRED': {'N_GRU_BLOCKS': 1, 'N_RES_LAYERS': 1}},
     })
 
-    global_batch = n_global * cfg.BATCHSIZE
+    assert n_global % n_model == 0
+    global_batch = (n_global // n_model) * cfg.BATCHSIZE
+    assert global_batch % num_processes == 0, (
+        'each process must own whole data-rows of the (data, model) mesh')
     ds = SyntheticFutureDataset(cfg, n_samples=global_batch, n_instances=2, seed=0)
     full = ds.get_batch(list(range(global_batch)))
     lo = process_id * (global_batch // num_processes)
@@ -79,7 +89,9 @@ def main():
     local = {k: v[lo:hi] for k, v in full.items()}
 
     trainer = Trainer(cfg)
-    mesh = create_mesh()  # all global devices on the 'data' axis
+    # all global devices: 1-D 'data' mesh, or (data, model) with the camera
+    # axis of the inputs sharded over process-local 'model' pairs
+    mesh = create_mesh(n_model=n_model)
 
     # identical deterministic init on every process, then globally replicated
     state_local = jax.jit(trainer.init_state)(

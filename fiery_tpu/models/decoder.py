@@ -25,17 +25,22 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        identity = x
+        project = self.stride != 1 or x.shape[-1] != self.channels
         h = conv2d(self.channels, 3, self.stride, dtype=self.dtype)(x)
-        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
-        h = conv2d(self.channels, 3, 1, dtype=self.dtype)(h)
-        # zero_init_residual: the block starts as identity (decoder.py:10)
         h = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
-                      scale_init=nn.initializers.zeros)(h, train)
-        if self.stride != 1 or x.shape[-1] != self.channels:
+                      post='relu')(h, train)
+        h = conv2d(self.channels, 3, 1, dtype=self.dtype)(h)
+        # zero_init_residual: the block starts as identity (decoder.py:10);
+        # the closing relu(h + identity) folds into whichever BN comes last
+        h = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                      scale_init=nn.initializers.zeros,
+                      post='none' if project else 'add_relu')(
+                          h, train, residual=None if project else x)
+        if project:
             identity = conv2d(self.channels, 1, self.stride, dtype=self.dtype)(x)
-            identity = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(identity, train)
-        return nn.relu(h + identity)
+            return BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                             post='add_relu')(identity, train, residual=h)
+        return h
 
 
 class FusedHeads(nn.Module):
@@ -60,7 +65,8 @@ class FusedHeads(nn.Module):
         h = nn.Conv(n * C, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
                     use_bias=False, kernel_init=init, dtype=self.dtype,
                     name='conv_fused')(x)
-        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
+        h = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                      post='relu')(h, train)
         outs = []
         for i, out_channels in enumerate(self.head_channels):
             outs.append(nn.Conv(out_channels, (1, 1), use_bias=True,
@@ -84,7 +90,8 @@ class Decoder(nn.Module):
 
         skip1 = x
         h = conv2d(64, 7, 2, dtype=self.dtype)(x)     # (H/2, W/2)
-        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype)(h, train))
+        h = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                      post='relu')(h, train)
 
         # layer1 (note: no maxpool before layer1 in the reference decoder)
         h = BasicBlock(64, 1, self.bn_momentum, self.dtype)(h, train)

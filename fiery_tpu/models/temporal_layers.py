@@ -91,8 +91,8 @@ class Conv1x1x1NormActivated(nn.Module):
         h = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     kernel_init=self.kernel_init,
                     dtype=self.dtype, name='Conv_0')(h)
-        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
-                              name='BatchNorm_0')(h, train))
+        h = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                      post='relu', name='BatchNorm_0')(h, train)
         return unpack_sequence_dim(h, b, t)
 
 
@@ -118,8 +118,8 @@ class CausalConv3d(nn.Module):
                            kt=kt, kernel_hw=(kh, kw), dtype=self.dtype,
                            name='Conv_0')(x)
         h = pack_sequence_dim(h)
-        h = nn.relu(BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
-                              name='BatchNorm_0')(h, train))
+        h = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                      post='relu', name='BatchNorm_0')(h, train)
         return unpack_sequence_dim(h, b, t)
 
 
@@ -169,11 +169,10 @@ class Bottleneck3D(nn.Module):
             skip = nn.Conv(out_channels, (1, 1), use_bias=False, kernel_init=conv_init,
                            dtype=self.dtype, name='Conv_0')(skip)
             skip = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
-                             name='BatchNorm_0')(skip, train)
-            skip = unpack_sequence_dim(skip, b, t)
-        else:
-            skip = x
-        return h + skip
+                             post='add', name='BatchNorm_0')(
+                                 skip, train, residual=pack_sequence_dim(h))
+            return unpack_sequence_dim(skip, b, t)
+        return h + x
 
 
 def _causal_avg_pool3d(x, pool_size):
@@ -287,11 +286,10 @@ class TemporalBlock(nn.Module):
             skip = nn.Conv(out_channels, (1, 1), use_bias=False, kernel_init=conv_init,
                            dtype=self.dtype, name='Conv_0')(skip)
             skip = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
-                             name='BatchNorm_0')(skip, train)
-            skip = unpack_sequence_dim(skip, b, t)
-        else:
-            skip = xs
-        return skip + h
+                             post='add', name='BatchNorm_0')(
+                                 skip, train, residual=pack_sequence_dim(h))
+            return unpack_sequence_dim(skip, b, t)
+        return xs + h
 
 
 class SpatialGRU(nn.Module):

@@ -431,3 +431,35 @@ def test_uint8_image_input_matches_prenormalized():
             continue
         np.testing.assert_allclose(np.asarray(out_u8[k]), np.asarray(out_f32[k]),
                                    atol=1e-5, err_msg=k)
+
+
+def test_packed_epilogue_bit_exact(monkeypatch):
+    """FIERY_PACKED_EPILOGUE applies the BN's following relu/residual-add on
+    the lane-packed view before unpacking — must be bit-identical to the
+    unpacked epilogue for every folded pattern (relu / add / relu_add /
+    add_relu, identity and projected residuals)."""
+    from fiery_tpu.models.decoder import BasicBlock
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 64), jnp.float32)
+    up = jnp.tile(x, (1, 2, 2, 1))
+    seq = jax.random.normal(jax.random.key(3), (2, 3, 8, 8, 64), jnp.float32)
+    cases = [
+        (ConvBlock(64), (x,)),
+        (Bottleneck(64), (x,)),                    # identity: relu_add
+        (Bottleneck(96), (x,)),                    # projected: relu + add
+        (Bottleneck(64, downsample=True), (x,)),
+        (UpsamplingAdd(64), (x, up)),
+        (UpsamplingConcat(64), (x, up)),
+        (BasicBlock(64), (x,)),                    # identity: add_relu
+        (BasicBlock(128, 2), (x,)),                # projected: add_relu
+        (Bottleneck3D(96), (seq,)),                # packed-seq skip: add
+    ]
+    for mod, args in cases:
+        outs = []
+        for flag in ('0', '1'):
+            monkeypatch.setenv('FIERY_PACKED_EPILOGUE', flag)
+            v = mod.init(jax.random.key(1), *args, train=True)
+            out, _ = mod.apply(v, *args, train=True, mutable=['batch_stats'])
+            outs.append(np.asarray(out))
+        np.testing.assert_array_equal(
+            outs[0], outs[1], err_msg=type(mod).__name__)

@@ -165,6 +165,11 @@ def run_train_study(steps, out_path):
         }
         if mode == 'dense':
             dense_state = state
+            # cache for run_activation_study (same BASE cfg) so it need not
+            # retrain the dense reference on this 1-core box
+            import pickle
+            with open('/tmp/acc_dense_state.pkl', 'wb') as f:
+                pickle.dump(jax.device_get(dense_state), f)
         results[mode] = row
         print(f'== {mode}: {json.dumps(row)}', flush=True)
 
@@ -277,7 +282,13 @@ def run_activation_study(steps, out_path):
     trainer = Trainer(cfg)
     b0 = {k: jnp.asarray(v) for k, v in batch.items()}
     random_state = jax.jit(trainer.init_state)(jax.random.key(0), b0)
-    trained_state, _ = train_mode('dense', steps)
+    if os.path.exists('/tmp/acc_dense_state.pkl'):
+        import pickle
+        with open('/tmp/acc_dense_state.pkl', 'rb') as f:
+            trained_state = pickle.load(f)
+        print('loaded dense-trained state from the train study', flush=True)
+    else:
+        trained_state, _ = train_mode('dense', steps)
 
     report = {}
     for tag, state in [('random_init', random_state),

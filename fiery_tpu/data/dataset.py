@@ -61,10 +61,23 @@ class DataLoader:
 
     def _get_pool(self):
         if self._pool is None and self.num_workers > 0:
-            ctx = mp.get_context('fork')
+            # forkserver, NOT fork: the pool is created lazily on first epoch,
+            # by which point jax has spun up its runtime threads — forking a
+            # multithreaded process deadlocks (observed: train.py hung until
+            # timeout on the first real-data run). forkserver workers fork from
+            # a clean spawned server process; dataset/transform ship by pickle.
+            ctx = mp.get_context('forkserver')
             self._pool = ctx.Pool(self.num_workers, initializer=_worker_init,
                                   initargs=(self.dataset, self.transform))
         return self._pool
+
+    def shutdown(self):
+        """Terminate the worker pool (workers are daemonic, so this is optional
+        hygiene — they die with the parent either way)."""
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
 
     def __len__(self):
         n = len(self.dataset)

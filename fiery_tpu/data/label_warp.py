@@ -129,29 +129,37 @@ def warp_label_stack(stack, future_egomotion, spatial_extent):
     return np.concatenate([stack[:, :1], warped], axis=1)
 
 
-def make_prewarp_transform(cfg):
+class PrewarpTransform:
     """Batch transform for the DataLoader: attach ``warped_label_stack``.
 
     Stacks the GT maps exactly as prepare_future_labels does (seg, instance,
     centerness, offset[, flow] — channels-last), warps them on the host, and
     adds the result under 'warped_label_stack'. The raw label keys stay in the
     batch (val metrics / visualisation read them).
-    """
-    rf = cfg.TIME_RECEPTIVE_FIELD
-    ext = (cfg.LIFT.X_BOUND[1], cfg.LIFT.Y_BOUND[1])
-    with_flow = cfg.INSTANCE_FLOW.ENABLED
 
-    def transform(batch):
+    A class (not a closure) so it pickles into DataLoader worker processes
+    (dataset.py uses a forkserver pool — initargs must pickle).
+    """
+
+    def __init__(self, cfg):
+        self.rf = cfg.TIME_RECEPTIVE_FIELD
+        self.ext = (cfg.LIFT.X_BOUND[1], cfg.LIFT.Y_BOUND[1])
+        self.with_flow = cfg.INSTANCE_FLOW.ENABLED
+
+    def __call__(self, batch):
+        rf = self.rf
         maps = [np.asarray(batch['segmentation'][:, rf - 1:], np.float32),
                 np.asarray(batch['instance'][:, rf - 1:], np.float32)[..., None],
                 np.asarray(batch['centerness'][:, rf - 1:], np.float32),
                 np.asarray(batch['offset'][:, rf - 1:], np.float32)]
-        if with_flow:
+        if self.with_flow:
             maps.append(np.asarray(batch['flow'][:, rf - 1:], np.float32))
         stacked = np.concatenate(maps, axis=-1)
         ego = np.asarray(batch['future_egomotion'][:, rf - 1:], np.float32)
         out = dict(batch)
-        out['warped_label_stack'] = warp_label_stack(stacked, ego, ext)
+        out['warped_label_stack'] = warp_label_stack(stacked, ego, self.ext)
         return out
 
-    return transform
+
+def make_prewarp_transform(cfg):
+    return PrewarpTransform(cfg)

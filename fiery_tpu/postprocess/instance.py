@@ -10,6 +10,7 @@ Reference: /root/reference/fiery/utils/instance.py:80-330. TPU-first split:
 """
 
 import functools
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -18,6 +19,46 @@ import numpy as np
 import scipy.optimize
 
 MAX_INSTANCES = 100  # reference caps detected centers at 100 (instance.py:134-136)
+
+# 'nosort' replaces the decode's lax.top_k over the 40000-pixel score map
+# (which lowers to a full-width sort on this toolchain) with the radix-select +
+# rank-compaction scheme proven on the splat (ops/lift_splat.py), plus one
+# k-element ordering sort — bit-exact vs lax.top_k incl. tie order
+# (tests/test_postprocess.py). 'topk' keeps the stock lowering.
+_DECODE_TOPK = os.environ.get('FIERY_DECODE_TOPK', 'nosort')
+
+
+def _top_k_scores_nosort(scores, k):
+    """Bit-exact ``lax.top_k(scores, k)`` without sorting the full score map.
+
+    Three compare/reduce stages, no full-width sort or scatter:
+      1. radix-select the exact k-th largest value (4-bit histogram descent on
+         order-mapped float bits — ops/lift_splat._kth_largest_bits);
+      2. compact the k selected entries into slots by index rank (ties at the
+         k-th value take the lowest indices — lax.top_k's stable rule);
+      3. order the k survivors by one tiny k-element stable sort.
+    """
+    from fiery_tpu.ops.lift_splat import _kth_largest_bits, _order_bits
+    u, nbits = _order_bits(scores)
+    kth_u = _kth_largest_bits(u, k, nbits)
+    gt = u > kth_u
+    eq = u == kth_u
+    n_gt = gt.sum(axis=-1, keepdims=True)
+    eq_rank = jnp.cumsum(eq.astype(jnp.int32), axis=-1)       # 1-based among ties
+    sel = gt | (eq & (eq_rank <= (k - n_gt)))                 # exactly k true
+    slot = jnp.cumsum(sel.astype(jnp.int32), axis=-1) - 1     # 0..k-1 where sel
+    onehot = sel[..., None] & (slot[..., None] == jnp.arange(k))
+    # each slot has exactly one contributor, so a 0-filled sum is a select
+    # (correct even for -inf scores)
+    idx = jnp.arange(scores.shape[-1], dtype=jnp.int32)
+    sel_scores = jnp.sum(jnp.where(onehot, scores[..., None], 0), axis=-2)
+    sel_idx = jnp.sum(jnp.where(onehot, idx[..., :, None], 0), axis=-2)
+    sel_u = jnp.sum(jnp.where(onehot, u[..., None], 0), axis=-2)
+    # ascending sort on the inverted order key = descending score; stable keeps
+    # the compaction's ascending-index order among equal scores, like top_k
+    _, out_scores, out_idx = jax.lax.sort(
+        (~sel_u, sel_scores, sel_idx), num_keys=1, is_stable=True)
+    return out_scores, out_idx
 
 
 def find_instance_centers(center_prediction, conf_threshold=0.1, nms_kernel_size=3,
@@ -36,7 +77,10 @@ def find_instance_centers(center_prediction, conf_threshold=0.1, nms_kernel_size
         ((0, 0), (p, p), (p, p), (0, 0)))[0, :, :, 0]
     is_peak = (x == pooled) & (x > 0)
     scores = jnp.where(is_peak, x, -jnp.inf).reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(scores, max_instances)
+    if _DECODE_TOPK == 'nosort':
+        top_scores, top_idx = _top_k_scores_nosort(scores, max_instances)
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, max_instances)
     centers = jnp.stack([top_idx // w, top_idx % w], axis=-1).astype(jnp.int32)
     valid = top_scores > 0
     return centers, valid
@@ -67,7 +111,19 @@ def make_instance_seg_consecutive(instance_seg, max_ids=MAX_INSTANCES + 1):
     Fixed-shape device equivalent of the reference torch.unique relabel
     (instance.py:147-170).
     """
-    present = jnp.zeros((max_ids,), jnp.int32).at[instance_seg.reshape(-1)].max(1)
+    flat = instance_seg.reshape(-1)
+    ids = jnp.arange(max_ids, dtype=jnp.int32)
+    if _DECODE_TOPK == 'nosort':
+        # compare/reduce instead of a 40k-row scatter-max and a 40k-row table
+        # gather: random row transactions run at only ~55M rows/s on TPU while
+        # the (max_ids, hw) broadcast compare streams on the VPU.
+        present = jnp.any(flat[None, :] == ids[:, None], axis=-1).astype(jnp.int32)
+        present = present.at[0].set(1)  # background always counts: id 0 -> 0
+        mapping = jnp.cumsum(present) - 1
+        remapped = jnp.sum(
+            jnp.where(instance_seg[..., None] == ids, mapping, 0), axis=-1)
+        return remapped.astype(jnp.int32)
+    present = jnp.zeros((max_ids,), jnp.int32).at[flat].max(1)
     present = present.at[0].set(1)  # background always counts so id 0 maps to 0
     mapping = jnp.cumsum(present) - 1  # mapping[id] = rank of id among present ids
     return mapping[instance_seg].astype(jnp.int32)

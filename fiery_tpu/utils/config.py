@@ -37,12 +37,17 @@ class CfgNode(dict):
         raise AttributeError(f'Config key not found: {name}')
 
     def __setattr__(self, name, value):
-        if getattr(self, _IMMUTABLE):
+        if self.is_frozen():
             raise AttributeError(f'Attempted to set {name} on an immutable CfgNode.')
         self[name] = value
 
     def __setitem__(self, key, value):
-        if getattr(self, _IMMUTABLE):
+        # default False via __dict__.get, NOT getattr: pickle restores dict
+        # items (SETITEMS) before instance state (BUILD), so during unpickling
+        # __setitem__ runs with no _IMMUTABLE attribute yet — getattr would
+        # fall through to __getattr__ and raise (observed: DataLoader worker
+        # processes died unpickling their dataset's cfg).
+        if self.__dict__.get(_IMMUTABLE, False):
             raise AttributeError(f'Attempted to set {key} on an immutable CfgNode.')
         dict.__setitem__(self, key, value)
 
@@ -60,7 +65,7 @@ class CfgNode(dict):
                 v.defrost()
 
     def is_frozen(self):
-        return getattr(self, _IMMUTABLE)
+        return self.__dict__.get(_IMMUTABLE, False)
 
     def clone(self):
         return copy.deepcopy(self)

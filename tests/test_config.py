@@ -121,3 +121,28 @@ def test_checkpoint_restore_merge_drops_unknown_keys():
     assert cfg.MODEL.ENCODER.NAME == 'efficientnet-b0'
     assert 'REMOVED_TOP_KEY' not in cfg
     assert 'GONE' not in cfg.MODEL.ENCODER
+
+
+def test_cfgnode_pickle_roundtrip():
+    """CfgNode must pickle (DataLoader forkserver workers receive the dataset —
+    and its cfg — by pickle). Regression: __setitem__ consulted __immutable__
+    via getattr, which raised during unpickling because pickle restores dict
+    items before instance state."""
+    import pickle
+
+    cfg = get_cfg()
+    thawed = pickle.loads(pickle.dumps(cfg))
+    assert thawed == cfg
+    assert isinstance(thawed.MODEL, CfgNode)
+
+    cfg.freeze()
+    frozen = pickle.loads(pickle.dumps(cfg))
+    assert frozen.is_frozen()
+    assert frozen.MODEL.ENCODER.is_frozen()  # freezing recurses; so must restore
+    with pytest.raises(AttributeError):
+        frozen.BATCHSIZE = 1
+    with pytest.raises(AttributeError):
+        frozen.MODEL.ENCODER.NAME = 'x'
+    frozen.defrost()
+    frozen.BATCHSIZE = 9
+    assert frozen.BATCHSIZE == 9

@@ -282,3 +282,45 @@ def test_device_lap_tracks_beyond_100_cumulative_ids():
     assert int(out[1].max()) > 100  # the scenario really crosses the old cap
     assert (out[2] == out[1]).all()  # tracks with id > 100 persist
     assert (out == out_host).all()
+
+
+def test_topk_nosort_bit_exact_vs_lax_top_k():
+    """The decode's no-sort top-k (radix select + rank compaction + k-element
+    ordering sort) must reproduce lax.top_k bit-for-bit, including the stable
+    lowest-index-first tie rule and all-(-inf) score maps."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    n, k = 4000, 100
+    cases = []
+    for _ in range(2):  # generic sparse peaks
+        s = np.full(n, -np.inf, np.float32)
+        peaks = rng.choice(n, rng.randint(0, 300), replace=False)
+        s[peaks] = rng.rand(len(peaks)).astype(np.float32) + 0.1
+        cases.append(s)
+    for _ in range(2):  # heavy ties, incl. at the k-th boundary
+        s = np.full(n, -np.inf, np.float32)
+        peaks = rng.choice(n, 250, replace=False)
+        s[peaks] = rng.choice([0.25, 0.5, 0.75], 250).astype(np.float32)
+        cases.append(s)
+    empty = np.full(n, -np.inf, np.float32)
+    single = empty.copy()
+    single[7] = 0.9
+    cases += [empty, single]
+    for s in cases:
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(s), k)
+        got_v, got_i = I._top_k_scores_nosort(jnp.asarray(s), k)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_make_instance_seg_consecutive_nosort_matches_scatter(monkeypatch):
+    rng = np.random.RandomState(3)
+    for _ in range(4):
+        seg = rng.randint(0, 101, size=(50, 50)).astype(np.int32)
+        seg[seg % 3 == 0] = 0
+        monkeypatch.setattr(I, '_DECODE_TOPK', 'nosort')
+        a = I.make_instance_seg_consecutive(jnp.asarray(seg))
+        monkeypatch.setattr(I, '_DECODE_TOPK', 'topk')
+        b = I.make_instance_seg_consecutive(jnp.asarray(seg))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -43,6 +43,11 @@ def _stage_diffs(ckpt_path, state, cfg, batch):
     # stage comparison runs in f32 (bf16 would dominate the diffs)
     import dataclasses
     model_cfg = dataclasses.replace(model_cfg, precision=32)
+    # ... and at HIGHEST matmul precision: on TPU, f32 convs/dots multiply in
+    # bf16 by default, which compounds to ~1e-1 relative through the encoder
+    # stack (measured on the dress-rehearsal tree) and would swamp any real
+    # weight-import/graph bug the diff exists to catch. The torch twin is
+    # CPU f32; match it. Scoped below via jax.default_matmul_precision.
 
     golden = GoldenFiery(
         C=model_cfg.encoder_out_channels, D=model_cfg.depth_channels,
@@ -106,11 +111,13 @@ def _stage_diffs(ckpt_path, state, cfg, batch):
 
     model = Fiery(cfg=model_cfg)
     variables = {'params': state.params['model'], 'batch_stats': state.batch_stats}
-    out, mods = model.apply(
-        variables, jnp.asarray(image), jnp.asarray(intr), jnp.asarray(extr),
-        jnp.asarray(ego), None, jnp.zeros(
-            (image.shape[0], 1, model_cfg.latent_dim), jnp.float32),
-        train=False, capture_intermediates=True, mutable=['intermediates'])
+    import jax
+    with jax.default_matmul_precision('highest'):
+        out, mods = model.apply(
+            variables, jnp.asarray(image), jnp.asarray(intr), jnp.asarray(extr),
+            jnp.asarray(ego), None, jnp.zeros(
+                (image.shape[0], 1, model_cfg.latent_dim), jnp.float32),
+            train=False, capture_intermediates=True, mutable=['intermediates'])
     inter = mods['intermediates']
 
     def nhwc(t):

@@ -39,6 +39,12 @@ class DataLoader:
     Multi-host: pass (process_index, process_count) to have each host read a disjoint
     shard of every (deterministically shuffled) epoch — the per-host batches then
     concatenate to the global batch under jit (jax.make_array_from_process_local_data).
+
+    num_workers > 0 uses a forkserver pool (JAX runtime threads are not fork-safe),
+    so the standard multiprocessing rules apply: the calling script needs an
+    ``if __name__ == '__main__'`` guard, and scripts piped via stdin can't spawn
+    workers (the child can't re-import ``__main__``); the pool pings a worker at
+    startup so such setups fail fast instead of respawning workers forever.
     """
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False, seed=0,
@@ -69,13 +75,33 @@ class DataLoader:
             ctx = mp.get_context('forkserver')
             self._pool = ctx.Pool(self.num_workers, initializer=_worker_init,
                                   initargs=(self.dataset, self.transform))
+            # Fail fast instead of looping forever: a worker that dies on
+            # arrival (unpicklable dataset/transform, or a __main__ that can't
+            # be re-imported — e.g. a script piped via stdin) is silently
+            # respawned by the pool ad infinitum. One ping with a timeout
+            # turns that into an actionable error.
+            try:
+                self._pool.apply_async(int, (0,)).get(timeout=120)
+            except Exception as e:
+                self._pool.terminate()
+                self._pool = None
+                raise RuntimeError(
+                    'data-loader worker pool failed its startup ping — workers '
+                    'are dying on arrival (unpicklable dataset/transform, or '
+                    'the __main__ module cannot be re-imported in a forkserver '
+                    'child, e.g. when running from stdin/REPL). Use '
+                    'num_workers=0 in that case.') from e
         return self._pool
 
     def shutdown(self):
-        """Terminate the worker pool (workers are daemonic, so this is optional
-        hygiene — they die with the parent either way)."""
+        """Drain and close the worker pool (workers are daemonic, so this is
+        optional hygiene — they die with the parent either way).
+
+        close()+join(), not terminate(): a terminate() mid-epoch kills workers
+        abruptly and can raise in / drop results from an iterator that still
+        has batches in flight; close() lets queued work finish first."""
         if self._pool is not None:
-            self._pool.terminate()
+            self._pool.close()
             self._pool.join()
             self._pool = None
 

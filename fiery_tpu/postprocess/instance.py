@@ -25,7 +25,16 @@ MAX_INSTANCES = 100  # reference caps detected centers at 100 (instance.py:134-1
 # rank-compaction scheme proven on the splat (ops/lift_splat.py), plus one
 # k-element ordering sort — bit-exact vs lax.top_k incl. tie order
 # (tests/test_postprocess.py). 'topk' keeps the stock lowering.
-_DECODE_TOPK = os.environ.get('FIERY_DECODE_TOPK', 'nosort')
+# Module attribute overrides the env var (tests/tools set it directly); the env
+# var is read at call time, i.e. at TRACE time — an already-jitted decode does
+# not retrace when the flag flips (jax caches by function identity).
+_DECODE_TOPK = None
+
+
+def _decode_topk():
+    if _DECODE_TOPK is not None:
+        return _DECODE_TOPK
+    return os.environ.get('FIERY_DECODE_TOPK', 'nosort')
 
 
 def _top_k_scores_nosort(scores, k):
@@ -77,7 +86,7 @@ def find_instance_centers(center_prediction, conf_threshold=0.1, nms_kernel_size
         ((0, 0), (p, p), (p, p), (0, 0)))[0, :, :, 0]
     is_peak = (x == pooled) & (x > 0)
     scores = jnp.where(is_peak, x, -jnp.inf).reshape(-1)
-    if _DECODE_TOPK == 'nosort':
+    if _decode_topk() == 'nosort':
         top_scores, top_idx = _top_k_scores_nosort(scores, max_instances)
     else:
         top_scores, top_idx = jax.lax.top_k(scores, max_instances)
@@ -113,7 +122,7 @@ def make_instance_seg_consecutive(instance_seg, max_ids=MAX_INSTANCES + 1):
     """
     flat = instance_seg.reshape(-1)
     ids = jnp.arange(max_ids, dtype=jnp.int32)
-    if _DECODE_TOPK == 'nosort':
+    if _decode_topk() == 'nosort':
         # compare/reduce instead of a 40k-row scatter-max and a 40k-row table
         # gather: random row transactions run at only ~55M rows/s on TPU while
         # the (max_ids, hw) broadcast compare streams on the VPU.

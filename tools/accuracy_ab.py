@@ -70,6 +70,17 @@ MODES = {
 N_TRAIN, N_VAL = 16, 8
 
 
+def _dense_cache_path(steps):
+    """Cache file for the dense-trained state, fingerprinted by the settings
+    that determine it (step count + BASE cfg + train-set size) so a stale
+    state from an earlier run with different settings is never reused."""
+    import hashlib
+    key = json.dumps({'steps': steps, 'base': BASE, 'n_train': N_TRAIN},
+                     sort_keys=True)
+    return ('/tmp/acc_dense_state_'
+            + hashlib.sha1(key.encode()).hexdigest()[:12] + '.pkl')
+
+
 def _merge(base, extra):
     out = {k: (dict(v) if isinstance(v, dict) else v) for k, v in base.items()}
     for k, v in extra.items():
@@ -166,9 +177,11 @@ def run_train_study(steps, out_path):
         if mode == 'dense':
             dense_state = state
             # cache for run_activation_study (same BASE cfg) so it need not
-            # retrain the dense reference on this 1-core box
+            # retrain the dense reference on this 1-core box; the filename is
+            # fingerprinted by (steps, BASE cfg) so a stale state from a run
+            # with different settings is never silently reused
             import pickle
-            with open('/tmp/acc_dense_state.pkl', 'wb') as f:
+            with open(_dense_cache_path(steps), 'wb') as f:
                 pickle.dump(jax.device_get(dense_state), f)
         results[mode] = row
         print(f'== {mode}: {json.dumps(row)}', flush=True)
@@ -282,11 +295,12 @@ def run_activation_study(steps, out_path):
     trainer = Trainer(cfg)
     b0 = {k: jnp.asarray(v) for k, v in batch.items()}
     random_state = jax.jit(trainer.init_state)(jax.random.key(0), b0)
-    if os.path.exists('/tmp/acc_dense_state.pkl'):
+    if os.path.exists(_dense_cache_path(steps)):
         import pickle
-        with open('/tmp/acc_dense_state.pkl', 'rb') as f:
+        with open(_dense_cache_path(steps), 'rb') as f:
             trained_state = pickle.load(f)
-        print('loaded dense-trained state from the train study', flush=True)
+        print('loaded dense-trained state from the train study '
+              f'({_dense_cache_path(steps)})', flush=True)
     else:
         trained_state, _ = train_mode('dense', steps)
 

@@ -306,10 +306,20 @@ class Fiery(nn.Module):
                     latent_dim=c.latent_dim, min_log_sigma=c.min_log_sigma,
                     max_log_sigma=c.max_log_sigma, bn_momentum=c.bn_momentum,
                     dtype=dtype)
+            # FIERY_PACKED_SPACE=k runs the GRU rollout + res blocks on the
+            # (H, W/k, k*C) space-to-channel packed view (models/packed.py):
+            # exact same math/params, but the C=64 BEV buffers fill whole
+            # 128-lane vectors instead of padding 2x in HBM. Read at module
+            # construction; use a fresh model object after flipping the flag.
+            import os as _os
+            packed_k = int(_os.environ.get('FIERY_PACKED_SPACE', '0') or 0)
+            if packed_k > 1 and c.bev_size[1] % packed_k:
+                packed_k = 1
             self.future_prediction = FuturePrediction(
                 in_channels=self.future_pred_in_channels,
                 n_gru_blocks=c.n_gru_blocks, n_res_layers=c.n_res_layers,
-                bn_momentum=c.bn_momentum, dtype=dtype)
+                bn_momentum=c.bn_momentum, dtype=dtype,
+                packed_k=max(packed_k, 1))
 
         self.decoder = Decoder(
             n_classes=c.n_classes,

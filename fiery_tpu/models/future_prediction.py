@@ -18,16 +18,27 @@ class FuturePrediction(nn.Module):
     n_res_layers: int = 3
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
+    packed_k: int = 1   # >1: run the whole rollout on the space-to-channel
+                        # packed view (models/packed.py) — exact, same params;
+                        # C=64 BEV buffers then fill whole 128-lane vectors
 
     @nn.compact
     def __call__(self, x, hidden_state, train: bool = False):
         # x: (b, n_future, h, w, c_in) latent samples; hidden_state: (b, h, w, c)
+        k = self.packed_k
+        if k > 1:
+            from fiery_tpu.models.packed import pack_w, unpack_w
+            x, hidden_state = pack_w(x, k), pack_w(hidden_state, k)
         for _ in range(self.n_gru_blocks):
             x = SpatialGRU(self.in_channels, bn_momentum=self.bn_momentum,
-                           dtype=self.dtype)(x, hidden_state, train=train)
+                           dtype=self.dtype, packed_k=k)(x, hidden_state, train=train)
             b, n_future = x.shape[:2]
             x = pack_sequence_dim(x)
             for _ in range(self.n_res_layers):
-                x = Bottleneck(bn_momentum=self.bn_momentum, dtype=self.dtype)(x, train)
+                x = Bottleneck(bn_momentum=self.bn_momentum, dtype=self.dtype,
+                               packed_k=k)(x, train)
             x = unpack_sequence_dim(x, b, n_future)
+        if k > 1:
+            from fiery_tpu.models.packed import unpack_w
+            x = unpack_w(x, k)
         return x

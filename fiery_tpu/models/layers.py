@@ -100,10 +100,13 @@ class _BNCore(nn.Module):
     scale_init: nn.initializers.Initializer = nn.initializers.ones
     dtype: Optional[Any] = None
     post: str = 'none'         # epilogue folded into the BN: see _apply_post
+    packed_k: int = 1          # >1: x arrives ALREADY on the space-to-channel
+                               # packed view (models/packed.py) with
+                               # x.shape[-1] == packed_k * C; params stay (C,)
 
     @nn.compact
     def __call__(self, x, use_running_average: bool, residual=None):
-        C = x.shape[-1]
+        C = x.shape[-1] // self.packed_k
         # trace-time registry: utils/bn_fold.py needs each BN's epsilon (a module
         # attribute, invisible in the params tree) to fold eval-mode BN into the
         # preceding conv kernel. Python-level write, works under jax.eval_shape.
@@ -116,9 +119,14 @@ class _BNCore(nn.Module):
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((C,), jnp.float32))
 
-        k = (_bn_pack_factor(C, x.shape[-2])
-             if _packed_bn_enabled() and x.ndim >= 3 else 1)
-        xp = x.reshape(x.shape[:-2] + (x.shape[-2] // k, k * C)) if k > 1 else x
+        if self.packed_k > 1:
+            k, xp = self.packed_k, x        # already the packed view; the k>1
+            # branches below then reshape to x.shape, which is a no-op
+        else:
+            k = (_bn_pack_factor(C, x.shape[-2])
+                 if _packed_bn_enabled() and x.ndim >= 3 else 1)
+            xp = (x.reshape(x.shape[:-2] + (x.shape[-2] // k, k * C))
+                  if k > 1 else x)
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
@@ -168,6 +176,7 @@ class BatchNorm(nn.Module):
     dtype: Optional[Any] = None
     post: str = 'none'         # fold the following act/residual-add into the BN
                                # so it can ride the packed-lane view (exact)
+    packed_k: int = 1          # see _BNCore.packed_k
 
     @nn.compact
     def __call__(self, x, train: bool = False, residual=None):
@@ -177,6 +186,7 @@ class BatchNorm(nn.Module):
             scale_init=self.scale_init,
             dtype=self.dtype,
             post=self.post,
+            packed_k=self.packed_k,
             name='BatchNorm_0',
         )(x, use_running_average=not train, residual=residual)
 
@@ -214,9 +224,30 @@ class ConvBlock(nn.Module):
     transpose: bool = False
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
+    packed_k: int = 1          # >1: x is a space-to-channel packed view
+                               # (models/packed.py); output stays packed
+    in_channels: Optional[int] = None            # packed mode: original Cin
+    in_parts: Optional[Any] = None               # packed mode: input layout
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.packed_k > 1:
+            from fiery_tpu.models.packed import PackedConv
+            assert not self.transpose and self.stride == 1 and self.norm == 'bn'
+            x = PackedConv(self.out_channels,
+                           (self.kernel_size, self.kernel_size),
+                           k=self.packed_k, use_bias=self.bias,
+                           kernel_init=conv_init, dtype=self.dtype,
+                           in_channels=self.in_channels,
+                           in_parts=self.in_parts, name='Conv_0')(x)
+            fold_act = self.activation == 'relu'
+            x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                          post='relu' if fold_act else 'none',
+                          packed_k=self.packed_k)(x, train)
+            act = _ACTIVATIONS[self.activation]
+            if act is not None and not fold_act:
+                x = act(x)
+            return x
         if self.transpose:
             x = nn.ConvTranspose(
                 self.out_channels, (self.kernel_size, self.kernel_size),
@@ -253,9 +284,13 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
+    packed_k: int = 1          # >1: x is a space-to-channel packed view
+                               # (models/packed.py); identity blocks only
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.packed_k > 1:
+            return self._packed(x, train)
         in_channels = x.shape[-1]
         out_channels = self.out_channels or in_channels
         mid = in_channels // 2
@@ -296,6 +331,30 @@ class Bottleneck(nn.Module):
         skip = conv2d(out_channels, 1, 1, dtype=self.dtype)(skip)
         return BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
                          post='add')(skip, train, residual=h)
+
+    def _packed(self, x, train):
+        """Identity-residual bottleneck on the packed view: same param tree
+        (Conv_0/1/2 + BatchNorm_0/1/2), packed lowering for every conv/BN."""
+        from fiery_tpu.models.packed import PackedConv
+        k = self.packed_k
+        in_channels = x.shape[-1] // k
+        out_channels = self.out_channels or in_channels
+        assert (out_channels == in_channels and not self.downsample
+                and not self.upsample), 'packed Bottleneck: identity form only'
+        mid = in_channels // 2
+        h = PackedConv(mid, (1, 1), k=k, kernel_init=conv_init,
+                       dtype=self.dtype, name='Conv_0')(x)
+        h = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                      post='relu', packed_k=k)(h, train)
+        h = PackedConv(mid, (self.kernel_size, self.kernel_size), k=k,
+                       kernel_init=conv_init, dtype=self.dtype,
+                       name='Conv_1')(h)
+        h = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                      post='relu', packed_k=k)(h, train)
+        h = PackedConv(out_channels, (1, 1), k=k, kernel_init=conv_init,
+                       dtype=self.dtype, name='Conv_2')(h)
+        return BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                         post='relu_add', packed_k=k)(h, train, residual=x)
 
 
 class UpsamplingConcat(nn.Module):

@@ -304,34 +304,56 @@ class SpatialGRU(nn.Module):
     activation: str = 'relu'
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
+    packed_k: int = 1          # >1: x/state/output ride the space-to-channel
+                               # packed view (models/packed.py); exact
 
     @nn.compact
     def __call__(self, x, state=None, train: bool = False):
-        b, t, h, w, _ = x.shape
+        k = self.packed_k
+        b, t, h, wp, cp = x.shape
+        cx, hs = cp // k, self.hidden_size
         # The reference's conv_update and conv_reset (temporal.py:20-25) read the SAME
         # (x_t ++ state) input with identical 3x3 geometry, so they are fused into one
         # conv producing 2*hidden channels (exact: channel-concatenated kernels).
         # variance_scaling(4.0, fan_out) on the (3, 3, C, 2H) kernel reproduces the
         # per-gate kaiming fan_out = 9*H variance of the unfused convs.
         gate_init = nn.initializers.variance_scaling(4.0, 'fan_out', 'normal')
-        conv_gates = nn.Conv(2 * self.hidden_size, (3, 3), strides=(1, 1),
-                             padding=((1, 1), (1, 1)), use_bias=True,
-                             kernel_init=gate_init, name='conv_gates',
-                             dtype=self.dtype)
-        conv_state_tilde = ConvBlock(self.hidden_size, kernel_size=3, bias=False,
-                                     norm=self.norm, activation=self.activation,
-                                     bn_momentum=self.bn_momentum, dtype=self.dtype,
-                                     name='conv_state_tilde')
+        if k > 1:
+            from fiery_tpu.models.packed import PackedConv
+            # out_parts puts all update-gate channels first: gates[..., :k*hs]
+            # IS the packed update gate, [k*hs:] the packed reset gate
+            conv_gates = PackedConv(2 * hs, (3, 3), k=k, use_bias=True,
+                                    kernel_init=gate_init, dtype=self.dtype,
+                                    in_channels=cx + hs,
+                                    in_parts=[(cx, 0), (hs, cx)],
+                                    out_parts=[(hs, 0), (hs, hs)],
+                                    name='conv_gates')
+            conv_state_tilde = ConvBlock(hs, kernel_size=3, bias=False,
+                                         norm=self.norm, activation=self.activation,
+                                         bn_momentum=self.bn_momentum,
+                                         dtype=self.dtype, packed_k=k,
+                                         in_channels=cx + hs,
+                                         in_parts=[(cx, 0), (hs, cx)],
+                                         name='conv_state_tilde')
+        else:
+            conv_gates = nn.Conv(2 * hs, (3, 3), strides=(1, 1),
+                                 padding=((1, 1), (1, 1)), use_bias=True,
+                                 kernel_init=gate_init, name='conv_gates',
+                                 dtype=self.dtype)
+            conv_state_tilde = ConvBlock(hs, kernel_size=3, bias=False,
+                                         norm=self.norm, activation=self.activation,
+                                         bn_momentum=self.bn_momentum, dtype=self.dtype,
+                                         name='conv_state_tilde')
 
-        rnn_state = (jnp.zeros((b, h, w, self.hidden_size), dtype=x.dtype)
+        rnn_state = (jnp.zeros((b, h, wp, k * hs), dtype=x.dtype)
                      if state is None else state)
         outputs = []
         for i in range(t):
             x_t = x[:, i]
             x_and_state = jnp.concatenate([x_t, rnn_state], axis=-1)
             gates = jax.nn.sigmoid(conv_gates(x_and_state) + self.gru_bias_init)
-            update_gate = gates[..., :self.hidden_size]
-            reset_gate = gates[..., self.hidden_size:]
+            update_gate = gates[..., :k * hs]
+            reset_gate = gates[..., k * hs:]
             state_tilde = conv_state_tilde(
                 jnp.concatenate([x_t, (1.0 - reset_gate) * rnn_state], axis=-1), train)
             rnn_state = (1.0 - update_gate) * rnn_state + update_gate * state_tilde

@@ -1,0 +1,180 @@
+"""Space-to-channel packed convolution equivalence (fiery_tpu/models/packed.py).
+
+The packed lowering must be numerically equivalent to the unpacked modules
+under the SAME parameter tree — it is a layout optimisation, not a model
+change (reference semantics: plain NCHW convs, /root/reference/fiery/layers/
+convolutions.py:9-61 and temporal.py:10-62).
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fiery_tpu.models.packed import PackedConv, pack_kernel, pack_w, unpack_w
+from fiery_tpu.models.layers import Bottleneck
+from fiery_tpu.models.temporal_layers import SpatialGRU
+from fiery_tpu.models.future_prediction import FuturePrediction
+
+
+pytestmark = pytest.mark.fast
+
+
+def test_pack_unpack_roundtrip():
+    x = jnp.arange(2 * 4 * 8 * 3, dtype=jnp.float32).reshape(2, 4, 8, 3)
+    for k in (1, 2, 4):
+        xp = pack_w(x, k)
+        assert xp.shape == (2, 4, 8 // k, 3 * k)
+        np.testing.assert_array_equal(unpack_w(xp, k), x)
+    # packed channel j = s*C + c: column k*x'+s, channel c
+    xp = pack_w(x, 2)
+    np.testing.assert_array_equal(xp[0, 0, 0, :3], x[0, 0, 0])
+    np.testing.assert_array_equal(xp[0, 0, 0, 3:], x[0, 0, 1])
+
+
+@pytest.mark.parametrize('shape', [
+    # (H, W, Cin, Cout, Kh, Kw, k, bias)
+    (8, 12, 6, 10, 3, 3, 2, False),
+    (8, 16, 6, 10, 3, 3, 4, True),
+    (5, 12, 7, 5, 1, 1, 2, True),
+    (9, 20, 3, 8, 5, 5, 4, False),
+    (8, 12, 6, 10, 3, 1, 2, False),   # 1-wide kernel on the packed axis
+])
+def test_packed_conv_matches_conv(shape):
+    H, W, Cin, Cout, Kh, Kw, k, bias = shape
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, H, W, Cin), jnp.float32)
+    ref = nn.Conv(Cout, (Kh, Kw), padding=(((Kh - 1) // 2,) * 2,
+                                           ((Kw - 1) // 2,) * 2),
+                  use_bias=bias, name='Conv_0')
+    pc = PackedConv(Cout, (Kh, Kw), k=k, use_bias=bias, name='Conv_0')
+    params = ref.init(rng, x)
+    y_ref = ref.apply(params, x)
+    y_p = unpack_w(pc.apply(params, pack_w(x, k)), k)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv_in_parts_concat():
+    """Packed conv over a channel-concat of two packed tensors equals the
+    unpacked conv over the plain concat (the GRU's input shape)."""
+    Ca, Cb, Cout, k = 6, 10, 12, 2
+    rng = jax.random.PRNGKey(0)
+    xa = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 12, Ca))
+    xb = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 12, Cb))
+    ref = nn.Conv(Cout, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                  name='Conv_0')
+    params = ref.init(rng, jnp.concatenate([xa, xb], -1))
+    y_ref = ref.apply(params, jnp.concatenate([xa, xb], -1))
+    pc = PackedConv(Cout, (3, 3), k=k, use_bias=True, name='Conv_0',
+                    in_channels=Ca + Cb, in_parts=[(Ca, 0), (Cb, Ca)])
+    y_p = unpack_w(pc.apply(params, jnp.concatenate(
+        [pack_w(xa, k), pack_w(xb, k)], -1)), k)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv_out_parts_gate_split():
+    """out_parts=[(H,0),(H,H)] makes out[..., :k*H] the packed first half of
+    the output channels (the GRU gate split)."""
+    Ca, H, k = 6, 5, 2
+    rng = jax.random.PRNGKey(0)
+    xa = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 12, Ca))
+    ref = nn.Conv(2 * H, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                  name='Conv_0')
+    params = ref.init(rng, xa)
+    y_ref = ref.apply(params, xa)
+    pc = PackedConv(2 * H, (3, 3), k=k, use_bias=True, name='Conv_0',
+                    in_channels=Ca, out_parts=[(H, 0), (H, H)])
+    y_p = pc.apply(params, pack_w(xa, k))
+    np.testing.assert_allclose(np.asarray(unpack_w(y_p[..., :k * H], k)),
+                               np.asarray(y_ref[..., :H]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(unpack_w(y_p[..., k * H:], k)),
+                               np.asarray(y_ref[..., H:]), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_bottleneck_matches():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 12, 16), jnp.float32)
+    m0 = Bottleneck()
+    mk = Bottleneck(packed_k=2)
+    v = m0.init({'params': rng}, x, train=True)
+    assert jax.tree.structure(v) == jax.tree.structure(
+        mk.init({'params': rng}, pack_w(x, 2), train=True))
+    for train in (False, True):
+        y0, s0 = m0.apply(v, x, train=train, mutable=['batch_stats'])
+        yk, sk = mk.apply(v, pack_w(x, 2), train=train, mutable=['batch_stats'])
+        np.testing.assert_allclose(np.asarray(unpack_w(yk, 2)), np.asarray(y0),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(sk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_packed_spatial_gru_matches():
+    rng = jax.random.PRNGKey(0)
+    b, t, H, W, cx, hs, k = 2, 3, 8, 12, 6, 16, 2
+    x = jax.random.normal(rng, (b, t, H, W, cx), jnp.float32)
+    h0 = jax.random.normal(jax.random.PRNGKey(1), (b, H, W, hs), jnp.float32)
+    m0 = SpatialGRU(hs)
+    mk = SpatialGRU(hs, packed_k=k)
+    v = m0.init({'params': rng}, x, h0, train=True)
+    for train in (False, True):
+        y0, _ = m0.apply(v, x, h0, train=train, mutable=['batch_stats'])
+        yk, _ = mk.apply(v, pack_w(x, k), pack_w(h0, k), train=train,
+                         mutable=['batch_stats'])
+        np.testing.assert_allclose(np.asarray(unpack_w(yk, k)), np.asarray(y0),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('k', [2, 4])
+def test_packed_future_prediction_matches(k):
+    """Full rollout: packed_k path == unpacked path under one param tree,
+    outputs and updated batch_stats both (the FIERY_PACKED_SPACE lever is a
+    pure lowering change)."""
+    rng = jax.random.PRNGKey(0)
+    b, t, H, W, latent, hs = 2, 3, 8, 16, 6, 16
+    x = jax.random.normal(rng, (b, t, H, W, latent), jnp.float32)
+    h0 = jax.random.normal(jax.random.PRNGKey(1), (b, H, W, hs), jnp.float32)
+    m0 = FuturePrediction(in_channels=hs, n_gru_blocks=2, n_res_layers=2)
+    mk = FuturePrediction(in_channels=hs, n_gru_blocks=2, n_res_layers=2,
+                          packed_k=k)
+    v = m0.init({'params': rng}, x, h0, train=True)
+    pk = mk.init({'params': rng}, x, h0, train=True)
+    assert jax.tree.structure(v) == jax.tree.structure(pk)
+    assert all(a.shape == bb.shape for a, bb in
+               zip(jax.tree.leaves(v), jax.tree.leaves(pk)))
+    for train in (False, True):
+        y0, s0 = m0.apply(v, x, h0, train=train, mutable=['batch_stats'])
+        yk, sk = mk.apply(v, x, h0, train=train, mutable=['batch_stats'])
+        assert yk.shape == y0.shape
+        scale = max(float(jnp.abs(y0).max()), 1e-9)
+        assert float(jnp.abs(yk - y0).max()) / scale < 1e-5
+        for a, bb in zip(jax.tree.leaves(s0), jax.tree.leaves(sk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_packed_gradients_match():
+    """Gradients through the packed lowering match the unpacked ones (the
+    kernel rearrangement is linear, so d/dparams commutes with packing)."""
+    rng = jax.random.PRNGKey(0)
+    b, t, H, W, latent, hs = 1, 2, 8, 12, 4, 8
+    x = jax.random.normal(rng, (b, t, H, W, latent), jnp.float32)
+    h0 = jax.random.normal(jax.random.PRNGKey(1), (b, H, W, hs), jnp.float32)
+    m0 = FuturePrediction(in_channels=hs, n_gru_blocks=1, n_res_layers=1)
+    mk = FuturePrediction(in_channels=hs, n_gru_blocks=1, n_res_layers=1,
+                          packed_k=2)
+    v = m0.init({'params': rng}, x, h0, train=True)
+
+    def loss(params, m):
+        y, _ = m.apply({'params': params, 'batch_stats': v['batch_stats']},
+                       x, h0, train=True, mutable=['batch_stats'])
+        return jnp.sum(y * y)
+
+    g0 = jax.grad(lambda p: loss(p, m0))(v['params'])
+    gk = jax.grad(lambda p: loss(p, mk))(v['params'])
+    gmax = max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g0))
+    for a, bb in zip(jax.tree.leaves(g0), jax.tree.leaves(gk)):
+        assert float(jnp.abs(a - bb).max()) / gmax < 1e-5

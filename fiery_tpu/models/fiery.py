@@ -275,6 +275,33 @@ class Fiery(nn.Module):
 
         self.bev_lift = BEVLift(cfg=c, name='bev_lift')
 
+        # FIERY_PACKED_SPACE=k runs the GRU rollout (and, with
+        # FIERY_PACKED_TEMPORAL=1, the temporal stack) on the (H, W/k, k*C)
+        # space-to-channel packed view (models/packed.py): exact same
+        # math/params, full 128-lane HBM buffers. Read at module
+        # construction; use a fresh model object after flipping the flags.
+        # Measured (tools/packed_space_ab.py, back-to-back): GRU-only packing
+        # took dense 491.2 -> 443.7 ms (+10.7%) and the topk8+warp-free combo
+        # 374.2 -> 327.3 (+14.3%); k=4 was WORSE (the k-fold packed-conv FLOPs
+        # overtake the byte savings) — default k=2. Temporal-stack packing is
+        # gated separately (its C=70 buffers don't lane-fill at k=2; the C=35
+        # mids and the fused epilogues do): measured dense 444.1 -> 435.0 ms
+        # (+2.1%) and combo 327.4 -> 315.9 (+3.6%) — default ON.
+        import os as _os
+        packed_k = int(_os.environ.get('FIERY_PACKED_SPACE', '2') or 0)
+        if packed_k > 1 and c.bev_size[1] % packed_k:
+            packed_k = 1
+        packed_k = max(packed_k, 1)
+        packed_k_temporal = (
+            packed_k if _os.environ.get('FIERY_PACKED_TEMPORAL', '1') == '1'
+            else 1)
+        # Decoder packing (strided/mixed-k kernels, single-buffer fused heads):
+        # measured dense 444.4 -> 437.7 ms (+1.5%), combo 329.5 -> 320.7
+        # (+2.8%) on top of GRU packing — default ON.
+        packed_k_decoder = (
+            packed_k if _os.environ.get('FIERY_PACKED_DECODER', '1') == '1'
+            else 1)
+
         temporal_in_channels = c.encoder_out_channels + (6 if c.input_egopose else 0)
         if c.temporal_name == 'identity':
             self.temporal_model = TemporalModelIdentity(receptive_field=c.receptive_field)
@@ -288,6 +315,7 @@ class Fiery(nn.Module):
                 use_pyramid_pooling=c.pyramid_pooling,
                 bn_momentum=c.bn_momentum,
                 dtype=dtype,
+                packed_k=packed_k_temporal,
             )
         else:
             raise NotImplementedError(f'Temporal module {c.temporal_name}')
@@ -306,26 +334,18 @@ class Fiery(nn.Module):
                     latent_dim=c.latent_dim, min_log_sigma=c.min_log_sigma,
                     max_log_sigma=c.max_log_sigma, bn_momentum=c.bn_momentum,
                     dtype=dtype)
-            # FIERY_PACKED_SPACE=k runs the GRU rollout + res blocks on the
-            # (H, W/k, k*C) space-to-channel packed view (models/packed.py):
-            # exact same math/params, but the C=64 BEV buffers fill whole
-            # 128-lane vectors instead of padding 2x in HBM. Read at module
-            # construction; use a fresh model object after flipping the flag.
-            import os as _os
-            packed_k = int(_os.environ.get('FIERY_PACKED_SPACE', '0') or 0)
-            if packed_k > 1 and c.bev_size[1] % packed_k:
-                packed_k = 1
             self.future_prediction = FuturePrediction(
                 in_channels=self.future_pred_in_channels,
                 n_gru_blocks=c.n_gru_blocks, n_res_layers=c.n_res_layers,
                 bn_momentum=c.bn_momentum, dtype=dtype,
-                packed_k=max(packed_k, 1))
+                packed_k=packed_k)
 
         self.decoder = Decoder(
             n_classes=c.n_classes,
             predict_future_flow=c.instance_flow_enabled,
             bn_momentum=c.bn_momentum,
             dtype=dtype,
+            packed_k=packed_k_decoder,
         )
 
     def __call__(self, image, intrinsics, extrinsics, future_egomotion,

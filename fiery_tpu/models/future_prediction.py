@@ -21,11 +21,13 @@ class FuturePrediction(nn.Module):
     packed_k: int = 1   # >1: run the whole rollout on the space-to-channel
                         # packed view (models/packed.py) — exact, same params;
                         # C=64 BEV buffers then fill whole 128-lane vectors
+    packed_k_eval: Optional[int] = None  # packing at train=False; None = same
 
     @nn.compact
     def __call__(self, x, hidden_state, train: bool = False):
         # x: (b, n_future, h, w, c_in) latent samples; hidden_state: (b, h, w, c)
-        k = self.packed_k
+        k = self.packed_k if (train or self.packed_k_eval is None) \
+            else self.packed_k_eval
         if k > 1:
             from fiery_tpu.models.packed import pack_w, unpack_w
             x, hidden_state = pack_w(x, k), pack_w(hidden_state, k)

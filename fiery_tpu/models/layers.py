@@ -19,6 +19,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.image
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.ad_checkpoint import checkpoint_name
 
@@ -103,6 +104,30 @@ class _BNCore(nn.Module):
     packed_k: int = 1          # >1: x arrives ALREADY on the space-to-channel
                                # packed view (models/packed.py) with
                                # x.shape[-1] == packed_k * C; params stay (C,)
+    packed_parts: Optional[Any] = None   # packed channel layout of x when it
+                               # came from a PackedConv with out_parts: tuple
+                               # of (Cpart, base) pairs; None = standard s*C+c
+
+    def _part_tile(self, v, k):
+        """Expand a per-original-channel vector to the packed channel layout."""
+        if self.packed_parts is None:
+            return jnp.tile(v, k)
+        return jnp.concatenate([jnp.tile(v[b:b + c], k)
+                                for (c, b) in self.packed_parts])
+
+    def _part_reduce(self, m, k, C):
+        """Mean per-packed-channel (k*C,) -> per-original-channel (C,)."""
+        if self.packed_parts is None:
+            return m.reshape(k, C).mean(0)
+        parts = list(self.packed_parts)
+        # parts must tile [0, C) in ascending base order for the concat below
+        assert [b for (_, b) in parts] == list(
+            np.cumsum([0] + [c for (c, _) in parts[:-1]])), parts
+        out, off = [], 0
+        for (c, _) in parts:
+            out.append(m[off:off + k * c].reshape(k, c).mean(0))
+            off += k * c
+        return jnp.concatenate(out)
 
     @nn.compact
     def __call__(self, x, use_running_average: bool, residual=None):
@@ -139,8 +164,8 @@ class _BNCore(nn.Module):
             mean2 = jnp.mean(jnp.square(xf), axes)
             if k > 1:
                 # equal-count groups: mean of per-group means is the exact mean
-                mean = mean.reshape(k, C).mean(0)
-                mean2 = mean2.reshape(k, C).mean(0)
+                mean = self._part_reduce(mean, k, C)
+                mean2 = self._part_reduce(mean2, k, C)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             mean = checkpoint_name(mean, 'bn_stats')
             var = checkpoint_name(var, 'bn_stats')
@@ -151,8 +176,9 @@ class _BNCore(nn.Module):
         dtype = self.dtype or jnp.float32
         mul = (scale * lax.rsqrt(var + self.epsilon)).astype(dtype)
         if k > 1:
-            out = ((xp.astype(dtype) - jnp.tile(mean.astype(dtype), k))
-                   * jnp.tile(mul, k) + jnp.tile(bias.astype(dtype), k))
+            out = ((xp.astype(dtype) - self._part_tile(mean.astype(dtype), k))
+                   * self._part_tile(mul, k)
+                   + self._part_tile(bias.astype(dtype), k))
             if self.post != 'none' and _packed_epilogue_enabled():
                 res = (residual.reshape(xp.shape)
                        if residual is not None else None)
@@ -177,6 +203,7 @@ class BatchNorm(nn.Module):
     post: str = 'none'         # fold the following act/residual-add into the BN
                                # so it can ride the packed-lane view (exact)
     packed_k: int = 1          # see _BNCore.packed_k
+    packed_parts: Optional[Any] = None   # see _BNCore.packed_parts
 
     @nn.compact
     def __call__(self, x, train: bool = False, residual=None):
@@ -187,6 +214,7 @@ class BatchNorm(nn.Module):
             dtype=self.dtype,
             post=self.post,
             packed_k=self.packed_k,
+            packed_parts=self.packed_parts,
             name='BatchNorm_0',
         )(x, use_running_average=not train, residual=residual)
 
@@ -385,14 +413,39 @@ class UpsamplingConcat(nn.Module):
 
 
 class UpsamplingAdd(nn.Module):
-    """Bilinear 2x upsample + 1x1 conv + BN, added to the skip. Reference: convolutions.py:203-214."""
+    """Bilinear 2x upsample + 1x1 conv + BN, added to the skip. Reference: convolutions.py:203-214.
+
+    packed_k > 1: ``x_skip`` is space-to-channel packed (models/packed.py) and
+    the output stays packed. ``packed_in`` says ``x`` itself arrives packed; the
+    H-axis upsample then runs on the packed view (exact — packing only mixes
+    W into C, and bilinear 2x is separable), the W-axis upsample on the
+    unpacked view, and the 1x1 conv on the re-packed result.
+    """
     out_channels: int
     scale_factor: int = 2
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
+    packed_k: int = 1
+    packed_in: bool = False
 
     @nn.compact
     def __call__(self, x, x_skip, train: bool = False):
+        k = self.packed_k
+        if k > 1:
+            from fiery_tpu.models.packed import PackedConv, pack_w, unpack_w
+            sf = self.scale_factor
+            if self.packed_in:
+                x = resize_bilinear(x, (sf * x.shape[-3], x.shape[-2]))
+                x = unpack_w(x, k)
+                x = resize_bilinear(x, (x.shape[-3], sf * x.shape[-2]))
+            else:
+                x = resize_bilinear(x, (sf * x.shape[-3], sf * x.shape[-2]))
+            x = pack_w(x, k)
+            x = PackedConv(self.out_channels, (1, 1), k=k, kernel_init=conv_init,
+                           dtype=self.dtype, name='Conv_0')(x)
+            return BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                             post='add', packed_k=k,
+                             name='BatchNorm_0')(x, train, residual=x_skip)
         x = resize_bilinear(
             x, (self.scale_factor * x.shape[-3], self.scale_factor * x.shape[-2]))
         x = conv2d(self.out_channels, 1, 1, dtype=self.dtype)(x)

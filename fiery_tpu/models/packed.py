@@ -31,6 +31,7 @@ IS reshape(H, W/k, k*C) of the contiguous NHWC array (a bitcast, no data
 movement), matching layers._BNCore's packed-lane view.
 """
 
+import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -106,6 +107,48 @@ def pack_kernel(kernel, k, in_parts=None, out_parts=None):
     return out, (qL, qR)
 
 
+def pack_kernel_strided(kernel, k_in, k_out, stride, pad):
+    """Generalised packed-kernel rearrangement: strided and mixed-pack convs.
+
+    Lowers an original (Kh, Kw, Cin, Cout) conv with column stride ``stride``
+    and symmetric column padding ``pad`` into a conv that reads a k_in-packed
+    (H, W/k_in, k_in*Cin) view and writes a k_out-packed view, entirely as a
+    trace-time kernel rearrangement (block-sparse, zero blocks elsewhere).
+
+    Derivation: output packed column x' slot s (s < k_out) is original output
+    column k_out*x' + s, whose tap dx reads original input column
+    stride*(k_out*x' + s) + dx = packed column stride_p*x' + q, slot r, with
+
+        stride_p = stride * k_out / k_in   (must be an integer)
+        dx       = k_in * q + r - stride * s
+
+    Returns (packed_kernel, stride_p, (qL, qR)) where (qL, qR) is the packed
+    column padding. qL*k_in may exceed the original left pad; the extra
+    original columns are only read by zero blocks, so zero-padding is exact.
+    """
+    Kh, Kw, Cin, Cout = kernel.shape
+    p = pad
+    assert (stride * k_out) % k_in == 0, (stride, k_in, k_out)
+    stride_p = stride * k_out // k_in
+    # q = floor((stride*s + dx) / k_in) over s in [0, k_out), dx in [-p, p]
+    qL = -((0 - p) // k_in) if p else 0          # -floor(-p/k_in)
+    qR = (stride * (k_out - 1) + (Kw - 1 - p)) // k_in
+    Kw_p = qL + qR + 1
+    out = jnp.zeros((Kh, Kw_p, k_in * Cin, k_out * Cout), kernel.dtype)
+    for s_out in range(k_out):
+        for q in range(-qL, qR + 1):
+            for r in range(k_in):
+                dx = k_in * q + r - stride * s_out
+                if not (-p <= dx <= Kw - 1 - p):
+                    continue
+                out = out.at[
+                    :, q + qL,
+                    r * Cin:(r + 1) * Cin,
+                    s_out * Cout:(s_out + 1) * Cout,
+                ].set(kernel[:, dx + p])
+    return out, stride_p, (qL, qR)
+
+
 def packed_bias_index(k, features, out_parts=None):
     """int32 (k*features,) map: packed output channel -> original channel."""
     out_parts = list(out_parts) if out_parts is not None else [(features, 0)]
@@ -124,6 +167,11 @@ class PackedConv(nn.Module):
     Declares the SAME 'kernel' (Kh, Kw, Cin, Cout) / 'bias' parameters as
     flax nn.Conv (name it 'Conv_0' etc. to keep checkpoint paths identical);
     the packed rearrangement happens at trace time.
+
+    With ``stride`` / ``k_out`` set (strided or mixed-pack lowering, e.g. the
+    decoder's stride-2 stages) the in/out_parts options are unsupported; the
+    H stride equals ``stride`` and the packed W stride is derived
+    (pack_kernel_strided).
     """
     features: int
     kernel_size: Tuple[int, int]
@@ -135,10 +183,13 @@ class PackedConv(nn.Module):
     in_channels: Optional[int] = None        # original Cin (sum of in_parts)
     in_parts: Optional[Sequence[Tuple[int, int]]] = None
     out_parts: Optional[Sequence[Tuple[int, int]]] = None
+    stride: int = 1
+    k_out: Optional[int] = None              # output packing; default = k
 
     @nn.compact
     def __call__(self, xp):
         k = self.k
+        k_out = self.k_out if self.k_out is not None else k
         Cin = (self.in_channels if self.in_channels is not None
                else xp.shape[-1] // k)
         assert xp.shape[-1] == k * Cin, (xp.shape, k, Cin)
@@ -146,17 +197,33 @@ class PackedConv(nn.Module):
         kernel = self.param('kernel', self.kernel_init,
                             (Kh, Kw, Cin, self.features), jnp.float32)
         dtype = self.dtype or xp.dtype
-        pk, (qL, qR) = pack_kernel(kernel.astype(dtype), k,
-                                   in_parts=self.in_parts,
-                                   out_parts=self.out_parts)
         ph = (Kh - 1) // 2
+        k_mid = k_out
+        if self.stride == 1 and k_out == k:
+            pk, (qL, qR) = pack_kernel(kernel.astype(dtype), k,
+                                       in_parts=self.in_parts,
+                                       out_parts=self.out_parts)
+            stride_p = 1
+        else:
+            assert self.in_parts is None and self.out_parts is None
+            if (self.stride * k_out) % k:
+                # stride_p = stride*k_out/k is fractional (e.g. k=4, stride=2,
+                # k_out=1): lower at the smallest k_mid multiple of k_out with
+                # an integral packed stride, then repack the output below.
+                k_mid = k_out * (k // math.gcd(self.stride * k_out, k))
+            pk, stride_p, (qL, qR) = pack_kernel_strided(
+                kernel.astype(dtype), k, k_mid, self.stride, (Kw - 1) // 2)
         y = lax.conv_general_dilated(
-            xp.astype(dtype), pk, window_strides=(1, 1),
+            xp.astype(dtype), pk, window_strides=(self.stride, stride_p),
             padding=((ph, ph), (qL, qR)),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         if self.use_bias:
             bias = self.param('bias', self.bias_init, (self.features,),
                               jnp.float32).astype(dtype)
             y = y + bias[jnp.asarray(
-                packed_bias_index(k, self.features, self.out_parts))]
+                packed_bias_index(k_mid, self.features, self.out_parts))]
+        if k_mid != k_out:
+            y = unpack_w(y, k_mid)
+            if k_out > 1:
+                y = pack_w(y, k_out)
         return y

@@ -53,10 +53,12 @@ class _CausalTapConv(nn.Module):
     kt: int
     kernel_hw: Tuple[int, int]
     dtype: Optional[Any] = None
+    packed_k: int = 1          # >1: x is the space-to-channel packed view
+                               # (models/packed.py); per-tap kernels repack
 
     @nn.compact
     def __call__(self, x):
-        # x: (B, T, H, W, C)
+        # x: (B, T, H, W, C) — or (B, T, H, W/k, k*C) when packed_k = k > 1
         kh, kw = self.kernel_hw
         kt, C = self.kt, self.in_channels
         kernel = self.param('kernel', conv_init, (kh, kw, kt * C, self.out_channels),
@@ -64,14 +66,19 @@ class _CausalTapConv(nn.Module):
         kernel = kernel.astype(x.dtype)
         b, t = x.shape[:2]
         h = pack_sequence_dim(x)
-        dn = jax.lax.conv_dimension_numbers(h.shape, kernel[..., :C, :].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        pads = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
         out = None
         for i in range(kt):
-            y = jax.lax.conv_general_dilated(
-                h, kernel[..., i * C:(i + 1) * C, :], (1, 1), pads,
-                dimension_numbers=dn)
+            tap = kernel[..., i * C:(i + 1) * C, :]
+            if self.packed_k > 1:
+                from fiery_tpu.models.packed import pack_kernel
+                tap, (qL, qR) = pack_kernel(tap, self.packed_k)
+                pads = [((kh - 1) // 2,) * 2, (qL, qR)]
+            else:
+                pads = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
+            dn = jax.lax.conv_dimension_numbers(h.shape, tap.shape,
+                                                ('NHWC', 'HWIO', 'NHWC'))
+            y = jax.lax.conv_general_dilated(h, tap, (1, 1), pads,
+                                             dimension_numbers=dn)
             y = _shift_right(unpack_sequence_dim(y, b, t), kt - 1 - i)
             out = y if out is None else out + y
         return out
@@ -83,16 +90,29 @@ class Conv1x1x1NormActivated(nn.Module):
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
     kernel_init: Any = conv_init
+    packed_k: int = 1                    # see models/packed.py
+    in_channels: Optional[int] = None    # packed mode: original Cin
+    in_parts: Optional[Any] = None       # packed mode: input channel layout
+    out_parts: Optional[Any] = None      # packed mode: output channel layout
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, t = x.shape[:2]
         h = pack_sequence_dim(x)
-        h = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                    kernel_init=self.kernel_init,
-                    dtype=self.dtype, name='Conv_0')(h)
+        if self.packed_k > 1:
+            from fiery_tpu.models.packed import PackedConv
+            h = PackedConv(self.out_channels, (1, 1), k=self.packed_k,
+                           kernel_init=self.kernel_init, dtype=self.dtype,
+                           in_channels=self.in_channels, in_parts=self.in_parts,
+                           out_parts=self.out_parts, name='Conv_0')(h)
+        else:
+            h = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                        kernel_init=self.kernel_init,
+                        dtype=self.dtype, name='Conv_0')(h)
         h = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
-                      post='relu', name='BatchNorm_0')(h, train)
+                      post='relu', packed_k=self.packed_k,
+                      packed_parts=self.out_parts,
+                      name='BatchNorm_0')(h, train)
         return unpack_sequence_dim(h, b, t)
 
 
@@ -108,18 +128,21 @@ class CausalConv3d(nn.Module):
     dilation: Tuple[int, int, int] = (1, 1, 1)
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
+    packed_k: int = 1          # see models/packed.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kt, kh, kw = self.kernel_size
         assert self.dilation == (1, 1, 1), 'dilation unused by the reference'
         b, t = x.shape[:2]
-        h = _CausalTapConv(out_channels=self.out_channels, in_channels=x.shape[-1],
+        h = _CausalTapConv(out_channels=self.out_channels,
+                           in_channels=x.shape[-1] // self.packed_k,
                            kt=kt, kernel_hw=(kh, kw), dtype=self.dtype,
-                           name='Conv_0')(x)
+                           packed_k=self.packed_k, name='Conv_0')(x)
         h = pack_sequence_dim(h)
         h = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
-                      post='relu', name='BatchNorm_0')(h, train)
+                      post='relu', packed_k=self.packed_k,
+                      name='BatchNorm_0')(h, train)
         return unpack_sequence_dim(h, b, t)
 
 
@@ -153,23 +176,34 @@ class Bottleneck3D(nn.Module):
     dilation: Tuple[int, int, int] = (1, 1, 1)
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
+    packed_k: int = 1          # see models/packed.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        in_channels = x.shape[-1]
+        k = self.packed_k
+        in_channels = x.shape[-1] // k
         out_channels = self.out_channels or in_channels
         mid = in_channels // 2
-        h = Conv1x1x1NormActivated(mid, self.bn_momentum, self.dtype)(x, train)
+        h = Conv1x1x1NormActivated(mid, self.bn_momentum, self.dtype,
+                                   packed_k=k)(x, train)
         h = CausalConv3d(mid, self.kernel_size, self.dilation, self.bn_momentum,
-                         self.dtype)(h, train)
-        h = Conv1x1x1NormActivated(out_channels, self.bn_momentum, self.dtype)(h, train)
+                         self.dtype, packed_k=k)(h, train)
+        h = Conv1x1x1NormActivated(out_channels, self.bn_momentum, self.dtype,
+                                   packed_k=k)(h, train)
         if out_channels != in_channels:
             b, t = x.shape[:2]
             skip = pack_sequence_dim(x)
-            skip = nn.Conv(out_channels, (1, 1), use_bias=False, kernel_init=conv_init,
-                           dtype=self.dtype, name='Conv_0')(skip)
+            if k > 1:
+                from fiery_tpu.models.packed import PackedConv
+                skip = PackedConv(out_channels, (1, 1), k=k,
+                                  kernel_init=conv_init, dtype=self.dtype,
+                                  name='Conv_0')(skip)
+            else:
+                skip = nn.Conv(out_channels, (1, 1), use_bias=False,
+                               kernel_init=conv_init, dtype=self.dtype,
+                               name='Conv_0')(skip)
             skip = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
-                             post='add', name='BatchNorm_0')(
+                             post='add', packed_k=k, name='BatchNorm_0')(
                                  skip, train, residual=pack_sequence_dim(h))
             return unpack_sequence_dim(skip, b, t)
         return h + x
@@ -234,10 +268,14 @@ class TemporalBlock(nn.Module):
     pool_sizes: Optional[Sequence[Tuple[int, int, int]]] = None
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
+    packed_k: int = 1          # see models/packed.py; pyramid pooling runs
+                               # unpacked (strided pools/resizes don't pack)
+                               # and its output is re-packed (a pure reshape)
 
     @nn.compact
     def __call__(self, x, train: bool = False, drop_front: int = 0):
-        in_channels = x.shape[-1]
+        k = self.packed_k
+        in_channels = x.shape[-1] // k
         out_channels = self.out_channels or in_channels
         half = in_channels // 2
         s = drop_front
@@ -252,41 +290,64 @@ class TemporalBlock(nn.Module):
         # (2,3,3) tap: frames [s-1:]; running the causal conv on that slice treats
         # frame s-1 as the sequence start (zero pre-pad), which corrupts only its
         # OWN output frame — dropped below by the [1:] slice.
+        # Packed mode: out_parts keeps each path's packed block contiguous, so
+        # the per-path slices below stay standard-packed views.
+        path_parts = tuple((half, pi * half) for pi in range(3))
         prolog = Conv1x1x1NormActivated(
             3 * half, self.bn_momentum, self.dtype,
             kernel_init=nn.initializers.variance_scaling(6.0, 'fan_out', 'normal'),
+            packed_k=k, out_parts=path_parts if k > 1 else None,
             name='prolog_fused')(x[:, s - 1:] if s else x, train)
         paths = []
         for pi, kernel in enumerate([(2, 3, 3), (1, 3, 3)]):
-            h = prolog[..., pi * half:(pi + 1) * half]
+            h = prolog[..., pi * k * half:(pi + 1) * k * half]
             if s and kernel[0] == 1:
                 h = h[:, 1:]      # per-frame path: skip the context frame entirely
             h = CausalConv3d(half, kernel, bn_momentum=self.bn_momentum,
-                             dtype=self.dtype)(h, train)
+                             dtype=self.dtype, packed_k=k)(h, train)
             if s and kernel[0] != 1:
                 h = h[:, 1:]      # drop the zero-pre-pad-corrupted context frame
             paths.append(h)
-        paths.append(prolog[:, 1:][..., 2 * half:3 * half] if s
-                     else prolog[..., 2 * half:3 * half])
+        paths.append(prolog[:, 1:][..., 2 * k * half:3 * k * half] if s
+                     else prolog[..., 2 * k * half:3 * k * half])
         h = jnp.concatenate(paths, axis=-1)
+        agg_parts = list(path_parts)
 
         if self.use_pyramid_pooling:
             reduction = in_channels // 3
+            px = x[:, s - 1:] if s else x
+            if k > 1:
+                from fiery_tpu.models.packed import pack_w, unpack_w
+                px = unpack_w(px, k)
             pooled = PyramidSpatioTemporalPooling(
                 reduction, self.pool_sizes, self.bn_momentum,
-                self.dtype)(x[:, s - 1:] if s else x, train, drop_front=min(s, 1))
+                self.dtype)(px, train, drop_front=min(s, 1))
+            if k > 1:
+                pooled = pack_w(pooled, k)
+            for i in range(len(self.pool_sizes)):
+                agg_parts.append((reduction, 3 * half + i * reduction))
             h = jnp.concatenate([h, pooled], axis=-1)
 
-        h = Conv1x1x1NormActivated(out_channels, self.bn_momentum, self.dtype)(h, train)
+        h = Conv1x1x1NormActivated(
+            out_channels, self.bn_momentum, self.dtype, packed_k=k,
+            in_channels=sum(c for (c, _) in agg_parts),
+            in_parts=agg_parts if k > 1 else None)(h, train)
 
         xs = x[:, s:] if s else x
         if out_channels != in_channels:
             b, t = xs.shape[:2]
             skip = pack_sequence_dim(xs)
-            skip = nn.Conv(out_channels, (1, 1), use_bias=False, kernel_init=conv_init,
-                           dtype=self.dtype, name='Conv_0')(skip)
+            if k > 1:
+                from fiery_tpu.models.packed import PackedConv
+                skip = PackedConv(out_channels, (1, 1), k=k,
+                                  kernel_init=conv_init, dtype=self.dtype,
+                                  name='Conv_0')(skip)
+            else:
+                skip = nn.Conv(out_channels, (1, 1), use_bias=False,
+                               kernel_init=conv_init, dtype=self.dtype,
+                               name='Conv_0')(skip)
             skip = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
-                             post='add', name='BatchNorm_0')(
+                             post='add', packed_k=k, name='BatchNorm_0')(
                                  skip, train, residual=pack_sequence_dim(h))
             return unpack_sequence_dim(skip, b, t)
         return xs + h

@@ -43,6 +43,13 @@ class TemporalModel(nn.Module):
     use_pyramid_pooling: bool = True
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
+    packed_k: int = 1          # >1: run the block stack on the space-to-channel
+                               # packed view (models/packed.py) — exact, same
+                               # params; fills the C=35 mid-channel lanes
+    packed_k_eval: Optional[int] = None   # packing at train=False; None = same
+                               # as packed_k (the lowering is exact either way,
+                               # so train/eval may differ; BN-folded serving
+                               # graphs measured FASTER unpacked)
 
     @nn.compact
     def __call__(self, x, train: bool = False, trim: bool = False):
@@ -56,6 +63,11 @@ class TemporalModel(nn.Module):
         # frames influenced training solely through those statistics, so this is
         # an off-parity approximation (cfg MODEL.TEMPORAL_MODEL.TRIM_TRAIN).
         h, w = self.input_shape
+        k = self.packed_k if (train or self.packed_k_eval is None) \
+            else self.packed_k_eval
+        if k > 1:
+            from fiery_tpu.models.packed import pack_w, unpack_w
+            x = pack_w(x, k)
         block_out_channels = self.start_out_channels
         for _ in range(self.receptive_field - 1):
             pool_sizes = [(2, h, w)] if self.use_pyramid_pooling else None
@@ -65,9 +77,13 @@ class TemporalModel(nn.Module):
                 pool_sizes=pool_sizes,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
+                packed_k=k,
             )(x, train, drop_front=1 if trim else 0)
             for _ in range(self.n_spatial_layers_between_temporal_layers):
                 x = Bottleneck3D(block_out_channels, kernel_size=(1, 3, 3),
-                                 bn_momentum=self.bn_momentum, dtype=self.dtype)(x, train)
+                                 bn_momentum=self.bn_momentum, dtype=self.dtype,
+                                 packed_k=k)(x, train)
             block_out_channels += self.extra_in_channels
+        if k > 1:
+            x = unpack_w(x, k)
         return x if trim else x[:, self.receptive_field - 1:]

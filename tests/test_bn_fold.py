@@ -108,8 +108,12 @@ def test_fold_full_model():
         if r is None:
             continue
         scale = max(float(np.abs(np.asarray(r)).max()), 1e-6)
+        # 1e-3: randomized stats amplify rounding, and the packed-space GRU/
+        # temporal/decoder lowerings (FIERY_PACKED_*, on by default) reorder
+        # conv f32 summation — observed worst case 5.2e-4 on a
+        # sigmoid-saturated head
         np.testing.assert_allclose(np.asarray(got[key]) / scale,
-                                   np.asarray(r) / scale, atol=5e-4,
+                                   np.asarray(r) / scale, atol=1e-3,
                                    err_msg=key)
 
 

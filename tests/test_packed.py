@@ -156,6 +156,53 @@ def test_packed_future_prediction_matches(k):
                                        rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize('pyramid', [False, True])
+def test_packed_temporal_model_matches(pyramid):
+    """TemporalModel packed_k path == unpacked path (incl. the skip-projected
+    first block, per-tap causal convs, prolog out_parts BN, pyramid pooling
+    bridged through an unpack/re-pack, and trim mode)."""
+    from fiery_tpu.models.temporal_model import TemporalModel
+    rng = jax.random.PRNGKey(0)
+    b, t, H, W, C = 2, 3, 8, 12, 10
+    x = jax.random.normal(rng, (b, t, H, W, C), jnp.float32)
+    m0 = TemporalModel(receptive_field=3, input_shape=(H, W),
+                       start_out_channels=8, use_pyramid_pooling=pyramid)
+    mk = TemporalModel(receptive_field=3, input_shape=(H, W),
+                       start_out_channels=8, use_pyramid_pooling=pyramid,
+                       packed_k=2)
+    v = m0.init({'params': rng}, x, train=True)
+    pk = mk.init({'params': rng}, x, train=True)
+    assert jax.tree.structure(v) == jax.tree.structure(pk)
+    assert all(a.shape == bb.shape for a, bb in
+               zip(jax.tree.leaves(v), jax.tree.leaves(pk)))
+    for train in (False, True):
+        for trim in (False, True):
+            y0, s0 = m0.apply(v, x, train=train, trim=trim,
+                              mutable=['batch_stats'])
+            yk, sk = mk.apply(v, x, train=train, trim=trim,
+                              mutable=['batch_stats'])
+            scale = max(float(jnp.abs(y0).max()), 1e-9)
+            assert float(jnp.abs(yk - y0).max()) / scale < 2e-5
+            for a, bb in zip(jax.tree.leaves(s0), jax.tree.leaves(sk)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                           rtol=1e-5, atol=1e-6)
+
+
+def test_packed_bottleneck3d_matches():
+    from fiery_tpu.models.temporal_model import TemporalModel
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 3, 8, 12, 10), jnp.float32)
+    kw = dict(receptive_field=2, input_shape=(8, 12), start_out_channels=8,
+              n_spatial_layers_between_temporal_layers=2,
+              use_pyramid_pooling=False)
+    m0, mk = TemporalModel(**kw), TemporalModel(**kw, packed_k=2)
+    v = m0.init({'params': rng}, x, train=True)
+    y0, _ = m0.apply(v, x, train=True, mutable=['batch_stats'])
+    yk, _ = mk.apply(v, x, train=True, mutable=['batch_stats'])
+    scale = max(float(jnp.abs(y0).max()), 1e-9)
+    assert float(jnp.abs(yk - y0).max()) / scale < 2e-5
+
+
 def test_packed_gradients_match():
     """Gradients through the packed lowering match the unpacked ones (the
     kernel rearrangement is linear, so d/dparams commutes with packing)."""
@@ -178,3 +225,131 @@ def test_packed_gradients_match():
     gmax = max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g0))
     for a, bb in zip(jax.tree.leaves(g0), jax.tree.leaves(gk)):
         assert float(jnp.abs(a - bb).max()) / gmax < 1e-5
+
+
+@pytest.mark.parametrize('case', [
+    # (W, Cin, Cout, Kw, stride, k_in, k_out)
+    (16, 6, 10, 7, 2, 2, 2),     # decoder conv7x7 s2 packed->packed
+    (16, 6, 10, 3, 2, 2, 1),     # layer2 downsample: packed->unpacked
+    (16, 6, 10, 1, 2, 2, 1),     # 1x1 s2 projection: packed->unpacked
+    (16, 6, 10, 3, 1, 2, 2),     # stride-1 sanity vs pack_kernel path
+    (16, 6, 10, 5, 2, 2, 2),
+    (24, 4, 8, 7, 2, 4, 2),      # mixed k_in=4 -> k_out=2
+    (24, 4, 8, 3, 2, 4, 1),
+    (16, 6, 10, 3, 4, 2, 1),     # stride 4
+])
+def test_packed_conv_strided_matches_conv(case):
+    W, Cin, Cout, Kw, stride, k_in, k_out = case
+    H, Kh = 12, 3
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, H, W, Cin), jnp.float32)
+    ref = nn.Conv(Cout, (Kh, Kw), strides=(stride, stride),
+                  padding=(((Kh - 1) // 2,) * 2, ((Kw - 1) // 2,) * 2),
+                  use_bias=False, name='Conv_0')
+    pc = PackedConv(Cout, (Kh, Kw), k=k_in, stride=stride, k_out=k_out,
+                    name='Conv_0')
+    params = ref.init(rng, x)
+    y_ref = ref.apply(params, x)
+    y_p = unpack_w(pc.apply(params, pack_w(x, k_in)), k_out)
+    assert y_p.shape == y_ref.shape, (y_p.shape, y_ref.shape)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('stride', [1, 2])
+def test_packed_basic_block_matches(stride):
+    from fiery_tpu.models.decoder import BasicBlock
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (3, 8, 12, 6), jnp.float32)
+    m0 = BasicBlock(10, stride)
+    mk = BasicBlock(10, stride, packed_k=2)
+    v = m0.init({'params': rng}, x, train=True)
+    pk = mk.init({'params': rng}, pack_w(x, 2), train=True)
+    assert jax.tree.structure(v) == jax.tree.structure(pk)
+    for train in (False, True):
+        y0, s0 = m0.apply(v, x, train=train, mutable=['batch_stats'])
+        yk, sk = mk.apply(v, pack_w(x, 2), train=train,
+                          mutable=['batch_stats'])
+        if stride == 1:
+            yk = unpack_w(yk, 2)
+        scale = max(float(jnp.abs(y0).max()), 1e-9)
+        assert float(jnp.abs(yk - y0).max()) / scale < 2e-5
+        for a, bb in zip(jax.tree.leaves(s0), jax.tree.leaves(sk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('packed_in', [False, True])
+def test_packed_upsampling_add_matches(packed_in):
+    from fiery_tpu.models.layers import UpsamplingAdd
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (3, 4, 6, 8), jnp.float32)
+    skip = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 12, 5), jnp.float32)
+    m0 = UpsamplingAdd(5)
+    mk = UpsamplingAdd(5, packed_k=2, packed_in=packed_in)
+    v = m0.init({'params': rng}, x, skip, train=True)
+    xk = pack_w(x, 2) if packed_in else x
+    pk = mk.init({'params': rng}, xk, pack_w(skip, 2), train=True)
+    assert jax.tree.structure(v) == jax.tree.structure(pk)
+    for train in (False, True):
+        y0, s0 = m0.apply(v, x, skip, train=train, mutable=['batch_stats'])
+        yk, sk = mk.apply(v, xk, pack_w(skip, 2), train=train,
+                          mutable=['batch_stats'])
+        yk = unpack_w(yk, 2)
+        scale = max(float(jnp.abs(y0).max()), 1e-9)
+        assert float(jnp.abs(yk - y0).max()) / scale < 2e-5
+        for a, bb in zip(jax.tree.leaves(s0), jax.tree.leaves(sk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('flow', [True, False])
+def test_packed_decoder_matches(flow):
+    """Full Decoder packed_k path == unpacked path (same param tree), incl.
+    the strided packed stem, layer1, the pack/unpack stride-2 transition,
+    both packed UpsamplingAdds, and the packed fused heads."""
+    from fiery_tpu.models.decoder import Decoder
+    rng = jax.random.PRNGKey(0)
+    # W=16: smallest width divisible by 4*k with two stride-2 halvings
+    x = jax.random.normal(rng, (1, 2, 16, 16, 6), jnp.float32)
+    m0 = Decoder(n_classes=2, predict_future_flow=flow)
+    mk = Decoder(n_classes=2, predict_future_flow=flow, packed_k=2)
+    v = m0.init({'params': rng}, x, train=True)
+    pk = mk.init({'params': rng}, x, train=True)
+    assert jax.tree.structure(v) == jax.tree.structure(pk)
+    assert all(a.shape == bb.shape for a, bb in
+               zip(jax.tree.leaves(v), jax.tree.leaves(pk)))
+    for train in (False, True):
+        y0, s0 = m0.apply(v, x, train=train, mutable=['batch_stats'])
+        yk, sk = mk.apply(v, x, train=train, mutable=['batch_stats'])
+        for key in y0:
+            if y0[key] is None:
+                assert yk[key] is None
+                continue
+            scale = max(float(jnp.abs(y0[key]).max()), 1e-9)
+            assert float(jnp.abs(yk[key] - y0[key]).max()) / scale < 2e-5, key
+        for a, bb in zip(jax.tree.leaves(s0), jax.tree.leaves(sk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_packed_decoder_gradients_match():
+    from fiery_tpu.models.decoder import Decoder
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 2, 16, 16, 6), jnp.float32)
+    m0 = Decoder(n_classes=2)
+    mk = Decoder(n_classes=2, packed_k=2)
+    v = m0.init({'params': rng}, x, train=True)
+
+    def loss(mod, vv):
+        def f(p):
+            out, _ = mod.apply({'params': p, 'batch_stats': vv['batch_stats']},
+                               x, train=True, mutable=['batch_stats'])
+            return sum(jnp.sum(o * o) for o in out.values() if o is not None)
+        return jax.grad(f)(vv['params'])
+
+    g0 = loss(m0, v)
+    gk = loss(mk, v)
+    gmax = max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g0))
+    for a, bb in zip(jax.tree.leaves(g0), jax.tree.leaves(gk)):
+        assert float(jnp.abs(a - bb).max()) / gmax < 5e-5

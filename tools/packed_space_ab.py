@@ -28,8 +28,11 @@ from fiery_tpu.data.synthetic import SyntheticFutureDataset
 BATCH = 3
 
 
-def measure(tag, packed_k, cfg_extra=None, iters=10):
+def measure(tag, packed_k, cfg_extra=None, iters=10, temporal=False,
+            decoder=False):
     os.environ['FIERY_PACKED_SPACE'] = str(packed_k)
+    os.environ['FIERY_PACKED_TEMPORAL'] = '1' if temporal else '0'
+    os.environ['FIERY_PACKED_DECODER'] = '1' if decoder else '0'
     cfg_dict = {'MODEL': {'BN_MOMENTUM': 0.05}, 'PRECISION': 16,
                 'BATCHSIZE': BATCH}
     for k, v in (cfg_extra or {}).items():
@@ -77,3 +80,18 @@ if __name__ == '__main__':
             bt = measure(f'combo packed_space={k}', k, COMBO)
             print(f'== combo k={k}: {a * 1e3:.1f} -> {bt * 1e3:.1f} ms '
                   f'({(a / bt - 1) * 100:+.1f}%)', flush=True)
+    if which == 'decoder':
+        # GRU packing stays ON in both arms; the A/B is the decoder extension.
+        for label, extra in (('dense', None), ('combo', COMBO)):
+            a = measure(f'{label} gru-only', ks[0], extra)
+            bt = measure(f'{label} gru+decoder', ks[0], extra, decoder=True)
+            print(f'== {label} decoder k={ks[0]}: {a * 1e3:.1f} -> '
+                  f'{bt * 1e3:.1f} ms ({(a / bt - 1) * 100:+.1f}%)', flush=True)
+    if which == 'temporal':
+        # GRU packing (the committed win) stays ON in both arms; the A/B is
+        # the temporal-stack extension (FIERY_PACKED_TEMPORAL) on top of it.
+        for label, extra in (('dense', None), ('combo', COMBO)):
+            a = measure(f'{label} gru-only', ks[0], extra)
+            bt = measure(f'{label} gru+temporal', ks[0], extra, temporal=True)
+            print(f'== {label} temporal k={ks[0]}: {a * 1e3:.1f} -> '
+                  f'{bt * 1e3:.1f} ms ({(a / bt - 1) * 100:+.1f}%)', flush=True)

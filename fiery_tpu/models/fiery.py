@@ -301,6 +301,18 @@ class Fiery(nn.Module):
         packed_k_decoder = (
             packed_k if _os.environ.get('FIERY_PACKED_DECODER', '1') == '1'
             else 1)
+        # Serving (train=False) packing, selected at CALL time by the modules'
+        # packed_k_eval: the BN-folded eval graph has no BN/stat passes for
+        # packing to save — the all-packed bench queue measured serving
+        # REGRESS to 27.1 clips/s vs 32.5 unpacked (topk8+warp-free bf16
+        # batch 1), while training gained +14-20%. Default: eval runs
+        # UNPACKED (FIERY_PACKED_SPACE_EVAL=1); the lowering is exact either
+        # way, so train/eval may differ freely.
+        packed_k_eval = int(
+            _os.environ.get('FIERY_PACKED_SPACE_EVAL', '1') or 0)
+        if packed_k_eval > 1 and c.bev_size[1] % packed_k_eval:
+            packed_k_eval = 1
+        packed_k_eval = max(packed_k_eval, 1)
 
         temporal_in_channels = c.encoder_out_channels + (6 if c.input_egopose else 0)
         if c.temporal_name == 'identity':
@@ -316,6 +328,7 @@ class Fiery(nn.Module):
                 bn_momentum=c.bn_momentum,
                 dtype=dtype,
                 packed_k=packed_k_temporal,
+                packed_k_eval=min(packed_k_eval, packed_k_temporal),
             )
         else:
             raise NotImplementedError(f'Temporal module {c.temporal_name}')
@@ -338,7 +351,8 @@ class Fiery(nn.Module):
                 in_channels=self.future_pred_in_channels,
                 n_gru_blocks=c.n_gru_blocks, n_res_layers=c.n_res_layers,
                 bn_momentum=c.bn_momentum, dtype=dtype,
-                packed_k=packed_k)
+                packed_k=packed_k,
+                packed_k_eval=min(packed_k_eval, packed_k))
 
         self.decoder = Decoder(
             n_classes=c.n_classes,
@@ -346,6 +360,7 @@ class Fiery(nn.Module):
             bn_momentum=c.bn_momentum,
             dtype=dtype,
             packed_k=packed_k_decoder,
+            packed_k_eval=min(packed_k_eval, packed_k_decoder),
         )
 
     def __call__(self, image, intrinsics, extrinsics, future_egomotion,

@@ -353,3 +353,32 @@ def test_packed_decoder_gradients_match():
     gmax = max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g0))
     for a, bb in zip(jax.tree.leaves(g0), jax.tree.leaves(gk)):
         assert float(jnp.abs(a - bb).max()) / gmax < 5e-5
+
+
+def test_packed_k_eval_selects_lowering():
+    """packed_k_eval decouples the serving lowering from training: with
+    packed_k=2, packed_k_eval=1 the train=False graph is the plain unpacked
+    one (bit-identical outputs to an unpacked module) while train=True still
+    runs packed (allclose to the packed module). This is the
+    FIERY_PACKED_SPACE_EVAL wiring (models/fiery.py): BN-folded serving graphs
+    measured FASTER unpacked (no BN passes left for packing to save)."""
+    rng = jax.random.PRNGKey(0)
+    b, t, H, W, latent, hs = 2, 3, 8, 16, 6, 16
+    x = jax.random.normal(rng, (b, t, H, W, latent), jnp.float32)
+    h0 = jax.random.normal(jax.random.PRNGKey(1), (b, H, W, hs), jnp.float32)
+    m0 = FuturePrediction(in_channels=hs, n_gru_blocks=2, n_res_layers=2)
+    me = FuturePrediction(in_channels=hs, n_gru_blocks=2, n_res_layers=2,
+                          packed_k=2, packed_k_eval=1)
+    mk = FuturePrediction(in_channels=hs, n_gru_blocks=2, n_res_layers=2,
+                          packed_k=2)
+    v = m0.init({'params': rng}, x, h0, train=True)
+    # eval: identical graph to the unpacked module -> bit-identical outputs
+    y0 = m0.apply(v, x, h0, train=False)
+    ye = me.apply(v, x, h0, train=False)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(ye))
+    # train: identical graph to the packed module -> bit-identical outputs
+    yk, sk = mk.apply(v, x, h0, train=True, mutable=['batch_stats'])
+    yt, st = me.apply(v, x, h0, train=True, mutable=['batch_stats'])
+    np.testing.assert_array_equal(np.asarray(yk), np.asarray(yt))
+    for a, bb in zip(jax.tree.leaves(sk), jax.tree.leaves(st)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))

@@ -125,7 +125,10 @@ class FuturePredictionDataset:
         if self.is_lyft:
             scenes = [row['name'] for row in self.nusc.scene]
             indices = TRAIN_LYFT_INDICES if self.is_train else VAL_LYFT_INDICES
-            return [scenes[i] for i in indices]
+            # the split constants index the full 180-scene Lyft train set
+            # (reference utils/lyft_splits.py); indices beyond the tree's scene
+            # count are skipped so truncated/synthetic trees still split
+            return [scenes[i] for i in indices if i < len(scenes)]
         from fiery_tpu.data.nuscenes_indexer import create_splits_scenes
         split = {'v1.0-trainval': {True: 'train', False: 'val'},
                  'v1.0-mini': {True: 'mini_train', False: 'mini_val'}}[

@@ -103,6 +103,20 @@ class FieryConfig:
     warp_free: bool = False
 
     def __post_init__(self):
+        if self.subsample:
+            # Lyft subsampling hardcodes receptive_field 3 / n_future 5
+            # (reference fiery.py:39-42): the ::2-subsampled window must hold
+            # exactly those 8 frames, i.e. TIME_RECEPTIVE_FIELD 5 +
+            # N_FUTURE_FRAMES 10 (15 keyframes -> 8). Anything else crashes
+            # deep in label slicing — reject it at the config surface.
+            window = self.time_receptive_field + self.n_future_frames
+            if (window + 1) // 2 != 8:
+                raise ValueError(
+                    f'MODEL.SUBSAMPLE expects TIME_RECEPTIVE_FIELD 5 and '
+                    f'N_FUTURE_FRAMES 10 (the reference hardcodes the '
+                    f'subsampled receptive_field=3/n_future=5): got a '
+                    f'{window}-keyframe window -> {(window + 1) // 2} '
+                    f'subsampled frames, need 8.')
         H, W = self.final_dim
         if H % 16 or W % 16:
             raise ValueError(

@@ -246,6 +246,11 @@ def test_fiery_config_subsample_semantics():
     cfg = FieryConfig(time_receptive_field=5, n_future_frames=10, subsample=True)
     assert cfg.receptive_field == 3
     assert cfg.n_future == 5
+    # any other window crashes deep in label slicing -> rejected up front
+    # (found by the Lyft CLI dress rehearsal: TRF 3/NFF 3 under SUBSAMPLE
+    # IndexError'd inside visualise_output)
+    with pytest.raises(ValueError, match='SUBSAMPLE'):
+        FieryConfig(time_receptive_field=3, n_future_frames=3, subsample=True)
 
 
 def test_label_cache_round_trip(tmp_path_factory):

@@ -65,3 +65,22 @@ EOF
 # in ~1 min. torch side is CPU either way.)
 timeout 3600 python parity.py --torch-checkpoint /tmp/fake_fiery.ckpt \
     --dataroot $TREE --version mini --stages --max-batches 2 --device-matching
+
+# 5. Lyft-shaped tree (same table schema under trainval/train_data, plain
+#    category names, index-based splits): train one epoch + evaluate. The
+#    window MUST be the reference TRF 5 / NFF 10 (MODEL.SUBSAMPLE hardcodes
+#    the subsampled rf=3/nf=5; FieryConfig rejects other windows).
+LTREE=/tmp/fake_lyft_rehearsal
+python tools/make_fake_nuscenes.py $LTREE --lyft --train-scenes 2 --val-scenes 2 \
+    --samples 16 --width 480 --height 270
+timeout 3600 python train.py --config-file fiery_tpu/configs/lyft/debug_lyft.yml \
+    DATASET.DATAROOT $LTREE LOG_DIR $LOGS TAG lyft_rehearsal \
+    EPOCHS 1 \
+    IMAGE.ORIGINAL_HEIGHT 270 IMAGE.ORIGINAL_WIDTH 480 \
+    IMAGE.RESIZE_SCALE 0.5 IMAGE.FINAL_DIM "(96, 240)" IMAGE.TOP_CROP 39 \
+    LIFT.X_BOUND "[-16.0, 16.0, 0.5]" LIFT.Y_BOUND "[-16.0, 16.0, 0.5]" \
+    MODEL.ENCODER.NAME efficientnet-b0 MODEL.ENCODER.OUT_CHANNELS 16 \
+    MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS 16 MODEL.DISTRIBUTION.LATENT_DIM 4 \
+    MODEL.FUTURE_PRED.N_GRU_BLOCKS 1 MODEL.FUTURE_PRED.N_RES_LAYERS 1 || exit 1
+LCKPT=$(ls -d $LOGS/*_lyft_rehearsal/checkpoint_final | head -1)
+timeout 3600 python evaluate.py --checkpoint "$LCKPT" --device-matching || exit 1

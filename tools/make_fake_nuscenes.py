@@ -71,13 +71,20 @@ def _render_image(rng, width, height, scene_i, t, cam_i):
 
 def make_fake_nuscenes(dest, n_train_scenes=2, n_val_scenes=1, n_samples=12,
                        width=1600, height=900, seed=0, cameras=None,
-                       image_quality=85):
-    """Write the tree; returns the dataroot to pass as DATASET.DATAROOT."""
+                       image_quality=85, lyft=False):
+    """Write the tree; returns the dataroot to pass as DATASET.DATAROOT.
+
+    With ``lyft=True`` the SAME table schema is written Lyft-Level-5-shaped
+    (reference data.py:403-416): tables under ``<dest>/trainval/train_data/``,
+    plain category names ('car'/'truck'/'pedestrian'), and scene splitting by
+    index (data/lyft_splits.py) instead of by name — scenes are interleaved
+    train/val by the real split constants, so write >=2 scenes. Use as
+    ``DATASET.NAME lyft  DATASET.DATAROOT <dest>``."""
     from PIL import Image
 
     cameras = list(cameras or CAMERA_YAW_DEG)
-    root = os.path.join(dest, 'mini')
-    table_dir = os.path.join(root, 'v1.0-mini')
+    root = os.path.join(dest, 'trainval' if lyft else 'mini')
+    table_dir = os.path.join(root, 'train_data' if lyft else 'v1.0-mini')
     os.makedirs(table_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
 
@@ -86,9 +93,13 @@ def make_fake_nuscenes(dest, n_train_scenes=2, n_val_scenes=1, n_samples=12,
                'calibrated_sensor', 'ego_pose', 'log', 'scene', 'sample',
                'sample_data', 'sample_annotation']}
     tables['category'] = [
-        {'token': 'cat_car', 'name': 'vehicle.car', 'description': ''},
-        {'token': 'cat_truck', 'name': 'vehicle.truck', 'description': ''},
-        {'token': 'cat_ped', 'name': 'human.pedestrian.adult', 'description': ''},
+        {'token': 'cat_car',
+         'name': 'car' if lyft else 'vehicle.car', 'description': ''},
+        {'token': 'cat_truck',
+         'name': 'truck' if lyft else 'vehicle.truck', 'description': ''},
+        {'token': 'cat_ped',
+         'name': 'pedestrian' if lyft else 'human.pedestrian.adult',
+         'description': ''},
     ]
     tables['visibility'] = [
         {'token': str(v), 'level': f'v{v}', 'description': ''} for v in range(1, 5)]
@@ -112,7 +123,12 @@ def make_fake_nuscenes(dest, n_train_scenes=2, n_val_scenes=1, n_samples=12,
                                  [0.0, fx, height / 2.0],
                                  [0.0, 0.0, 1.0]]})
 
-    scene_names = MINI_TRAIN[:n_train_scenes] + MINI_VAL[:n_val_scenes]
+    if lyft:
+        # lyft splits are by scene INDEX (VAL starts 0, 2, 4...; TRAIN 1, 3...)
+        scene_names = [f'host-a-lidar0-{i}' for i in
+                       range(n_train_scenes + n_val_scenes)]
+    else:
+        scene_names = MINI_TRAIN[:n_train_scenes] + MINI_VAL[:n_val_scenes]
     for scene_i, scene_name in enumerate(scene_names):
         scene_token = f'scene{scene_i}'
         tables['log'].append({'token': f'log{scene_i}', 'location': 'fake',
@@ -233,15 +249,21 @@ def main():
     parser.add_argument('--width', type=int, default=1600)
     parser.add_argument('--height', type=int, default=900)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--lyft', action='store_true',
+                        help='write a Lyft-Level-5-shaped tree instead '
+                             '(trainval/train_data tables, plain categories)')
     args = parser.parse_args()
     make_fake_nuscenes(args.dest, args.train_scenes, args.val_scenes,
-                       args.samples, args.width, args.height, args.seed)
+                       args.samples, args.width, args.height, args.seed,
+                       lyft=args.lyft)
     n_imgs = args.samples * (args.train_scenes + args.val_scenes) * 6
-    print(f'fake nuScenes tree at {args.dest}/mini '
+    kind = 'Lyft' if args.lyft else 'nuScenes'
+    sub = 'trainval' if args.lyft else 'mini'
+    print(f'fake {kind} tree at {args.dest}/{sub} '
           f'({args.train_scenes}+{args.val_scenes} scenes, '
           f'{args.samples} samples each, {n_imgs} JPEGs '
-          f'{args.width}x{args.height}).\nUse: DATASET.DATAROOT {args.dest} '
-          f'DATASET.VERSION mini')
+          f'{args.width}x{args.height}).\nUse: DATASET.DATAROOT {args.dest} ' +
+          ('DATASET.NAME lyft' if args.lyft else 'DATASET.VERSION mini'))
 
 
 if __name__ == '__main__':

@@ -91,20 +91,20 @@ class MBConvBlock(nn.Module):
         in_channels = x.shape[-1]
         expanded = in_channels * self.expand_ratio
 
+        # swish activations ride the BN's packed-lane epilogue (layers.py
+        # post=: exact, same op order) instead of separate unpacked passes
         if self.expand_ratio != 1:
             x = nn.Conv(expanded, (1, 1), use_bias=False, kernel_init=conv_init,
                         dtype=self.dtype)(x)
             x = BatchNorm(momentum=self.bn_momentum, epsilon=self.bn_epsilon,
-                          dtype=self.dtype)(x, train)
-            x = nn.silu(x)
+                          dtype=self.dtype, post='swish')(x, train)
 
         # depthwise
         x = nn.Conv(expanded, (self.kernel, self.kernel), strides=(self.stride,) * 2,
                     padding='SAME', feature_group_count=expanded, use_bias=False,
                     kernel_init=conv_init, dtype=self.dtype)(x)
         x = BatchNorm(momentum=self.bn_momentum, epsilon=self.bn_epsilon,
-                      dtype=self.dtype)(x, train)
-        x = nn.silu(x)
+                      dtype=self.dtype, post='swish')(x, train)
 
         if self.se_ratio and 0 < self.se_ratio <= 1:
             squeezed_ch = max(1, int(in_channels * self.se_ratio))
@@ -118,15 +118,20 @@ class MBConvBlock(nn.Module):
 
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False, kernel_init=conv_init,
                     dtype=self.dtype)(x)
+        has_skip = self.stride == 1 and in_channels == self.out_channels
+        # the residual add rides the BN epilogue too, except when drop-connect
+        # must scale/mask the branch first (train with drop_rate > 0; both are
+        # trace-time constants, so the lowering is chosen statically)
+        fold_add = has_skip and not (train and drop_rate > 0)
         x = BatchNorm(momentum=self.bn_momentum, epsilon=self.bn_epsilon,
-                      dtype=self.dtype)(x, train)
+                      dtype=self.dtype, post='add' if fold_add else 'none')(
+                          x, train, residual=inputs if fold_add else None)
 
-        if self.stride == 1 and in_channels == self.out_channels:
-            if train and drop_rate > 0:
-                keep = 1.0 - drop_rate
-                rng = self.make_rng('dropout')
-                mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1))
-                x = x / keep * mask.astype(x.dtype)
+        if has_skip and not fold_add:
+            keep = 1.0 - drop_rate
+            rng = self.make_rng('dropout')
+            mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1))
+            x = x / keep * mask.astype(x.dtype)
             x = x + inputs
         return x
 
@@ -153,8 +158,8 @@ class EfficientNetFPN(nn.Module):
         stem_ch = round_filters(32, width)
         x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding='SAME', use_bias=False,
                     kernel_init=conv_init, dtype=self.dtype)(x)
-        x = BatchNorm(momentum=self.bn_momentum, epsilon=1e-3, dtype=self.dtype)(x, train)
-        x = nn.silu(x)
+        x = BatchNorm(momentum=self.bn_momentum, epsilon=1e-3, dtype=self.dtype,
+                      post='swish')(x, train)
 
         endpoints = {}
         prev = x

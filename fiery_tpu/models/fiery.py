@@ -34,6 +34,7 @@ from fiery_tpu.models.temporal_model import (
 )
 from fiery_tpu.ops.lift_splat import (
     create_frustum, get_geometry, lift_splat, lift_splat_topk)
+from fiery_tpu.parallel.mesh import bev_constraint
 from fiery_tpu.ops.warp import (
     compose_poses_to_present, cumulative_warp_features, warp_points_to_present)
 from fiery_tpu.utils.geometry import (
@@ -414,6 +415,10 @@ class Fiery(nn.Module):
             ego = jnp.concatenate([jnp.zeros_like(ego[:, :1]), ego[:, :rf - 1]], axis=1)
             x = jnp.concatenate([x, ego.astype(x.dtype)], axis=-1)
 
+        # BEV spatial partitioning (parallel/mesh.py bev_sharding): identity
+        # unless the trainer enabled it — then the X row axis rides 'model'
+        x = bev_constraint(x)
+
         # At eval the temporal stack is trimmed to the causal minimum: only the
         # present frame survives the final slice, so each block emits one frame
         # fewer than its input (exact under running-stat BN — temporal_model.py).
@@ -423,6 +428,7 @@ class Fiery(nn.Module):
             states = self.temporal_model(x, train, trim=True)
         else:
             states = self.temporal_model(x, train)
+        states = bev_constraint(states)
 
         if c.n_future > 0:
             present_state = states[:, :1]
@@ -432,7 +438,7 @@ class Fiery(nn.Module):
                 output.update(output_distribution)
 
             b, _, h, w, _ = present_state.shape
-            hidden_state = present_state[:, 0]
+            hidden_state = bev_constraint(present_state[:, 0])
 
             if c.probabilistic_enabled:
                 future_prediction_input = jnp.broadcast_to(
@@ -442,16 +448,17 @@ class Fiery(nn.Module):
                     (b, c.n_future, h, w, c.latent_dim), dtype=hidden_state.dtype)
 
             future_states = self.future_prediction(
-                future_prediction_input, hidden_state, train)
-            future_states = jnp.concatenate([present_state, future_states], axis=1)
+                bev_constraint(future_prediction_input), hidden_state, train)
+            future_states = bev_constraint(
+                jnp.concatenate([present_state, future_states], axis=1))
             bev_output = self.decoder(future_states, train)
         else:
             bev_output = self.decoder(states[:, -1:], train)
 
         # heads and losses consume float32 regardless of the compute dtype
         output.update(jax.tree.map(
-            lambda t: t.astype(jnp.float32) if t is not None else None, bev_output,
-            is_leaf=lambda t: t is None))
+            lambda t: bev_constraint(t.astype(jnp.float32)) if t is not None else None,
+            bev_output, is_leaf=lambda t: t is None))
         return output
 
     def calculate_birds_eye_view_features(self, x, intrinsics, extrinsics, train,
@@ -483,7 +490,7 @@ class Fiery(nn.Module):
                 [unpack_sequence_dim(past, b, s - 1), geometry[:, -1:]], axis=1)
             geometry = pack_sequence_dim(geometry)
         bev = self.bev_lift(x, geometry, train)
-        return unpack_sequence_dim(bev, b, s)      # (b, s, X, Y, C)
+        return bev_constraint(unpack_sequence_dim(bev, b, s))  # (b, s, X, Y, C)
 
     def distribution_forward(self, present_features, future_distribution_inputs,
                              noise, train):

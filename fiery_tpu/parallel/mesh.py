@@ -18,6 +18,7 @@ is the natural second axis for this architecture: it cuts per-chip activation
 memory without touching any model code.
 """
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -26,6 +27,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # batch keys carrying a per-camera axis at dim 2: (b, s, n_cam, ...)
 _CAMERA_KEYS = ('image', 'intrinsics', 'extrinsics')
+
+# ---------------------------------------------------------------------------
+# BEV spatial partitioning (the post-splat half of the network)
+#
+# Camera parallelism splits the ENCODER over the model axis, but everything
+# after the voxel splat — temporal stack, GRU rollout, decoder — is a dense
+# (b, t, X, Y, C) conv pipeline that GSPMD would otherwise run replicated on
+# the model axis. With BEV sharding enabled, the model forward applies
+# with_sharding_constraint at its module boundaries putting the BEV X axis
+# (dim -3) on the same 'model' axis: XLA's spatial partitioner inserts the
+# 1-2 row halo exchanges 3x3 convs need (pure ICI traffic), and per-chip BEV
+# activation memory drops by n_model. The constraint context is read at TRACE
+# time (jit caches by function identity — make_parallel_train_step builds a
+# fresh closure per call, so flipping the flag always retraces).
+# ---------------------------------------------------------------------------
+
+_BEV_CTX = None  # (mesh, data_axis_name, model_axis_name) when enabled
+
+
+@contextlib.contextmanager
+def bev_sharding(mesh: Mesh, axis_name: str = 'data',
+                 model_axis_name: str = 'model'):
+    """Enable BEV spatial-partitioning constraints while tracing under this mesh."""
+    global _BEV_CTX
+    prev = _BEV_CTX
+    _BEV_CTX = (mesh, axis_name, model_axis_name)
+    try:
+        yield
+    finally:
+        _BEV_CTX = prev
+
+
+def bev_constraint(x):
+    """Constrain a BEV activation: batch on 'data', the X row axis (dim -3) on
+    'model'. Identity when BEV sharding is not enabled (the default) or for
+    tensors without a spatial plane."""
+    ctx = _BEV_CTX
+    if ctx is None or x is None or getattr(x, 'ndim', 0) < 4:
+        return x
+    mesh, data_axis, model_axis = ctx
+    spec = [None] * x.ndim
+    spec[0] = data_axis
+    spec[x.ndim - 3] = model_axis
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
 
 
 def create_mesh(n_devices: Optional[int] = None, axis_name: str = 'data',
@@ -99,7 +145,8 @@ def maybe_initialize_distributed():
 
 
 def make_parallel_train_step(trainer, mesh: Mesh, axis_name: str = 'data',
-                             donate_state: bool = False):
+                             donate_state: bool = False,
+                             bev_parallel: bool = False):
     """jit the trainer's train_step with batch sharded on the data axis.
 
     State and rng are replicated; XLA inserts psum for gradients and global batch
@@ -107,23 +154,44 @@ def make_parallel_train_step(trainer, mesh: Mesh, axis_name: str = 'data',
     donate_state=True donates the input TrainState buffers (params + optimizer state,
     ~1 GB at baseline scale) so XLA updates them in place — only safe when the caller
     rebinds ``state = step(state, ...)`` and never reuses the old state.
+    bev_parallel=True additionally spatially partitions the post-splat BEV
+    pipeline over the 'model' axis (see bev_sharding above); requires a 2-D mesh.
     """
     repl = replicated(mesh)
+    if bev_parallel and 'model' not in mesh.axis_names:
+        raise ValueError('bev_parallel requires a (data, model) 2-D mesh')
+
+    def step(state, batch, rng):
+        if bev_parallel:
+            with bev_sharding(mesh, axis_name):
+                return trainer.train_step(state, batch, rng)
+        return trainer.train_step(state, batch, rng)
+
     # batch shardings are taken from the arrays themselves (shard_batch puts the
     # batch axis on 'data' and, on a 2-D mesh, the camera axis on 'model')
     return jax.jit(
-        trainer.train_step,
+        step,
         in_shardings=(repl, None, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else (),
     )
 
 
-def make_parallel_eval_step(trainer, mesh: Mesh, axis_name: str = 'data'):
+def make_parallel_eval_step(trainer, mesh: Mesh, axis_name: str = 'data',
+                            bev_parallel: bool = False):
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis_name)
+    if bev_parallel and 'model' not in mesh.axis_names:
+        raise ValueError('bev_parallel requires a (data, model) 2-D mesh')
+
+    def step(state, batch):
+        if bev_parallel:
+            with bev_sharding(mesh, axis_name):
+                return trainer.eval_step(state, batch)
+        return trainer.eval_step(state, batch)
+
     return jax.jit(
-        trainer.eval_step,
+        step,
         in_shardings=(repl, None),
         out_shardings=(data, data, repl),
     )

@@ -135,6 +135,61 @@ def test_camera_model_axis_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5 * lr)
 
 
+def test_bev_constraint_shards_spatially():
+    """bev_constraint under bev_sharding really puts the X row axis on 'model'
+    (and is the identity outside the context)."""
+    from fiery_tpu.parallel.mesh import bev_sharding, bev_constraint
+
+    mesh = create_mesh(n_model=2)
+    x = jnp.zeros((4, 2, 16, 16, 8))
+
+    def constrained(x):
+        with bev_sharding(mesh):
+            return bev_constraint(x)
+
+    out = jax.jit(constrained)(x)
+    spec = out.sharding.spec
+    assert spec[0] == 'data' and spec[2] == 'model', spec
+
+    # rank-4 hidden states: model lands on the X axis (dim 1)
+    out4 = jax.jit(constrained)(jnp.zeros((4, 16, 16, 8)))
+    spec4 = out4.sharding.spec
+    assert spec4[0] == 'data' and spec4[1] == 'model', spec4
+
+    # identity outside the context: no 'model' axis appears
+    plain = jax.jit(lambda t: bev_constraint(t))(x)
+    assert 'model' not in str(plain.sharding)
+
+
+def test_bev_spatial_axis_matches_single_device():
+    """(data=4, model=2) mesh with the camera axis sharded AND the post-splat
+    BEV pipeline spatially partitioned over 'model' == the unsharded step.
+    GSPMD inserts the conv halo exchanges; math must be unchanged."""
+    cfg = tiny_cfg()
+    cfg.defrost()
+    cfg.IMAGE.NAMES = ['CAM_A', 'CAM_B']
+    cfg.freeze()
+    dataset = SyntheticFutureDataset(cfg, n_samples=8, n_instances=1, seed=0)
+    trainer = Trainer(cfg)
+    batch = {k: jnp.asarray(v) for k, v in dataset.get_batch(list(range(8))).items()}
+
+    state = jax.jit(trainer.init_state)(jax.random.key(0), batch)
+    single_state, single_metrics = jax.jit(trainer.train_step)(
+        state, batch, jax.random.key(1))
+
+    mesh = create_mesh(n_model=2)
+    pstep = make_parallel_train_step(trainer, mesh, bev_parallel=True)
+    sharded = shard_batch(batch, mesh)
+    sp_state, sp_metrics = pstep(state, sharded, jax.random.key(1))
+
+    np.testing.assert_allclose(float(sp_metrics['total_loss']),
+                               float(single_metrics['total_loss']), rtol=5e-3)
+    lr = cfg.OPTIMIZER.LR
+    for a, b in zip(jax.tree.leaves(single_state.params),
+                    jax.tree.leaves(sp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5 * lr)
+
+
 def test_dp_gradients_match_single_device():
     """Raw gradients (before Adam) of the DP-sharded loss == unsharded gradients.
 

@@ -9,6 +9,7 @@ metrics computed at 30x30 m ([70:130]) and 100x100 m ([0:200]) crops of the
 """
 
 import argparse
+from fiery_tpu.utils.config import add_platform_arg, apply_platform_arg
 
 import jax
 import jax.numpy as jnp
@@ -143,7 +144,9 @@ def main():
                         help='use the jittable Jonker-Volgenant ID matcher '
                              'instead of the host scipy Hungarian (keeps the whole '
                              'eval path on device; same optimal assignment)')
+    add_platform_arg(parser)
     args = parser.parse_args()
+    apply_platform_arg(args)
     checkpoint = args.torch_checkpoint or args.checkpoint
     if not checkpoint:
         parser.error('--checkpoint (or --torch-checkpoint) is required')

@@ -334,11 +334,32 @@ _C.GRAD_NORM_CLIP = 5
 def get_parser():
     parser = argparse.ArgumentParser(description='fiery_tpu training')
     parser.add_argument('--config-file', default='', metavar='FILE', help='path to config file')
+    add_platform_arg(parser)
     parser.add_argument(
         'opts', help='Modify config options from the command line', default=None,
         nargs=argparse.REMAINDER,
     )
     return parser
+
+
+def add_platform_arg(parser):
+    """--platform cpu|tpu|... : force the JAX platform before first device use.
+
+    The env var JAX_PLATFORMS alone is not enough on hosts whose sitecustomize
+    pins a platform plugin; jax.config.update('jax_platforms', ...) in-process
+    is authoritative. Empty (default) keeps whatever the host configured."""
+    parser.add_argument('--platform', default='', type=str,
+                        help='force a JAX platform (e.g. "cpu" to run/debug '
+                             'entry points without the accelerator); default: '
+                             'host-configured')
+    return parser
+
+
+def apply_platform_arg(args):
+    """Call before the first jax.devices()/computation in an entry point."""
+    if getattr(args, 'platform', ''):
+        import jax
+        jax.config.update('jax_platforms', args.platform)
 
 
 def get_cfg(args=None, cfg_dict=None, cfg_dict_strict=True):

@@ -18,6 +18,7 @@ the metric table is skipped.
 """
 
 import argparse
+from fiery_tpu.utils.config import add_platform_arg, apply_platform_arg
 import os
 import sys
 
@@ -170,7 +171,9 @@ def main():
     parser.add_argument('--stages', action='store_true',
                         help='also print per-stage activation diffs vs the torch '
                              'reference twin on one batch')
+    add_platform_arg(parser)
     args = parser.parse_args()
+    apply_platform_arg(args)
 
     from fiery_tpu.utils.checkpoint import load_torch_full_checkpoint
     state, cfg = load_torch_full_checkpoint(args.torch_checkpoint)

@@ -24,7 +24,7 @@ from fiery_tpu.training.metrics import IntersectionOverUnion, PanopticMetric
 from fiery_tpu.training.trainer import Trainer
 from fiery_tpu.utils.checkpoint import (load_pretrained_params, save_checkpoint,
                                         save_checkpoint_async, wait_for_async_save)
-from fiery_tpu.utils.config import get_cfg, get_parser
+from fiery_tpu.utils.config import apply_platform_arg, get_cfg, get_parser
 
 
 class MetricLogger:
@@ -78,7 +78,14 @@ def main():
                         help='shard the camera axis over this many devices per '
                              'data shard (2-D (data, model) mesh); cuts per-chip '
                              'encoder activation memory n-fold')
+    parser.add_argument('--bev-parallel', action='store_true',
+                        help='additionally spatially partition the post-splat BEV '
+                             'pipeline (temporal/GRU/decoder) over the model axis '
+                             '(requires --camera-parallel > 1); XLA inserts conv '
+                             'halo exchanges on ICI, per-chip BEV activation '
+                             'memory drops n_model-fold')
     args = parser.parse_args()
+    apply_platform_arg(args)
     cfg = get_cfg(args)
 
     maybe_initialize_distributed()
@@ -95,6 +102,9 @@ def main():
     if n_shards % n_model:
         raise SystemExit(f'--camera-parallel {n_model} must divide the '
                          f'{n_shards} devices used')
+    if args.bev_parallel and n_model <= 1:
+        raise SystemExit('--bev-parallel requires --camera-parallel > 1 '
+                         '(the model axis it shards over)')
     # cfg.BATCHSIZE is per-chip (like the reference's per-GPU BATCHSIZE,
     # configs/baseline.yml:5) and is what gets checkpointed; the loaders see the
     # per-host batch, and shard_batch assembles the global array across hosts.
@@ -163,7 +173,8 @@ def main():
         state = load_pretrained_params(cfg.PRETRAINED.PATH, state,
                                        model_cfg=trainer.model_cfg)
 
-    train_step = make_parallel_train_step(trainer, mesh, donate_state=True)
+    train_step = make_parallel_train_step(trainer, mesh, donate_state=True,
+                                          bev_parallel=args.bev_parallel)
     eval_step = jax.jit(trainer.eval_step)
     rng = jax.random.key(42)
 

@@ -11,6 +11,7 @@ into ./output_vis/.
 """
 
 import argparse
+from fiery_tpu.utils.config import add_platform_arg, apply_platform_arg
 import glob
 import os
 
@@ -139,7 +140,9 @@ def main():
     parser.add_argument('--checkpoint', required=True, type=str)
     parser.add_argument('--data', default='', type=str,
                         help='directory of example .npz clips')
+    add_platform_arg(parser)
     args = parser.parse_args()
+    apply_platform_arg(args)
     visualise(args.checkpoint, args.data)
 
 

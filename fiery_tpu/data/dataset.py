@@ -30,6 +30,24 @@ def _worker_load(idx):
         batch = _WORKER_TRANSFORM(batch)
     return batch
 
+
+def _worker_backend_probe(_=None):
+    """Report whether this worker process initialized a JAX backend.
+
+    Workers must stay numpy-only: the accelerator belongs to the parent
+    process, and a worker that initializes JAX tries to claim it — observed as
+    a permanent pool deadlock when the device was unreachable (each worker
+    hung inside backend init, and pool.imap waits forever on lost tasks). The
+    data path (dataset __getitem__, label gen, prewarp transform) is written
+    jax-free; tests/test_dataloader.py pins that with this probe.
+    """
+    import sys
+    if sys.modules.get('jax') is None:
+        return 'jax-not-imported'
+    from jax._src import xla_bridge
+    return ('jax-initialized' if xla_bridge.backends_are_initialized()
+            else 'jax-imported-uninitialized')
+
 from fiery_tpu.data.synthetic import SyntheticFutureDataset
 
 

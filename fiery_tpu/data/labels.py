@@ -9,13 +9,19 @@ ego-compensated centroid displacement at frame t into its frame t-1 footprint.
 Implementation is table-driven rather than per-instance loops: one bincount pass
 builds the (frame, instance) centroid tables, and every map is then a lookup
 through the instance image.
+
+Pure numpy, NO jax: this runs inside data-loader worker processes, which must
+never initialize a JAX backend — on a TPU host the chip belongs to the parent,
+and a worker that touches jax hangs or faults trying to claim it (observed:
+the forkserver pool deadlocked for good when the device was unreachable). The
+nearest warp comes from data/label_warp.py's numpy twin of ops/warp.py
+(equivalence pinned by tests/test_warp.py).
 """
 
 import numpy as np
-import jax.numpy as jnp
 
-from fiery_tpu.ops.warp import warp_features
-from fiery_tpu.utils.geometry import invert_pose_matrix, mat2pose_vec, pose_vec2mat
+from fiery_tpu.data.label_warp import (
+    _invert_pose, _mat2pose_vec, _pose_vec2mat, _warp_nearest)
 
 
 def _centroid_table(frames, n_ids):
@@ -65,15 +71,15 @@ def convert_instance_mask_to_center_and_offset_label(
     warped = np.zeros_like(instance_img)
     if seq_len > 1:
         if subtract_egomotion:
-            ego_inv = np.asarray(mat2pose_vec(invert_pose_matrix(
-                pose_vec2mat(jnp.asarray(future_egomotion)))))
-            poses = jnp.asarray(ego_inv[:seq_len - 1])
+            ego_inv = _mat2pose_vec(_invert_pose(_pose_vec2mat(
+                np.asarray(future_egomotion, np.float32))))
+            poses = ego_inv[:seq_len - 1].astype(np.float32)
         else:
-            poses = jnp.zeros((seq_len - 1, 6))
-        moved = warp_features(
-            jnp.asarray(instance_img[1:], dtype=jnp.float32)[..., None],
-            poses, mode='nearest', spatial_extent=spatial_extent)
-        warped[1:] = np.asarray(moved)[..., 0]
+            poses = np.zeros((seq_len - 1, 6), np.float32)
+        moved = _warp_nearest(
+            instance_img[1:].astype(np.float32)[..., None],
+            poses, spatial_extent)
+        warped[1:] = moved[..., 0]
 
     # table sized to the largest id present, but ids beyond num_instances are
     # treated as absent (the reference only iterates ids 1..num_instances)

@@ -60,5 +60,13 @@ def test_worker_pool_matches_in_process():
             np.array_equal(a['image'], b['image'])
             for a, b in zip(pool_batches, again)
         )
+        # workers must never have initialized a JAX backend: the accelerator
+        # belongs to the parent, and a worker claiming it deadlocks the pool
+        # when the device is unreachable (regression: labels.py used the
+        # device warp inside __getitem__)
+        from fiery_tpu.data.dataset import _worker_backend_probe
+        probes = {pool_loader._pool.apply(_worker_backend_probe)
+                  for _ in range(4)}
+        assert 'jax-initialized' not in probes, probes
     finally:
         pool_loader.shutdown()

@@ -63,14 +63,75 @@ def wait_for_async_save():
         t.join()
 
 
-def load_checkpoint(path, trainer=None):
-    """Returns (state, cfg). If ``trainer`` is given, the restored pytree is cast onto
-    its state structure; otherwise raw arrays are returned in a TrainState."""
+def _is_checkpoint_dir(path):
+    """A checkpoint is complete iff both the state dir and the config marker
+    exist — config.json is written LAST in both save paths, so its presence
+    commits the checkpoint (a preempted async write leaves no config.json and
+    the directory is skipped by auto-resume)."""
+    return (os.path.isdir(os.path.join(path, _STATE_DIR))
+            and os.path.isfile(os.path.join(path, _CFG_FILE)))
+
+
+def find_latest_checkpoint(path):
+    """Resolve ``path`` to a concrete, complete checkpoint directory.
+
+    Accepts (preemption-tolerant auto-resume, SURVEY §5):
+      * a checkpoint dir itself (contains ``state/`` + ``config.json``);
+      * a RUN dir containing ``checkpoint_epochN``/``checkpoint_final``
+        subdirs — picks ``checkpoint_final`` if complete, else the highest
+        complete epoch;
+      * a LOG dir of run dirs — picks the most recently modified run dir
+        that holds a complete checkpoint.
+    Returns None if no complete checkpoint is found.
+    """
+    path = os.path.abspath(path)
+    if _is_checkpoint_dir(path):
+        return path
+    if not os.path.isdir(path):
+        return None
+    final = os.path.join(path, 'checkpoint_final')
+    if _is_checkpoint_dir(final):
+        return final
+    epochs = []
+    for name in os.listdir(path):
+        if name.startswith('checkpoint_epoch'):
+            try:
+                n = int(name[len('checkpoint_epoch'):])
+            except ValueError:
+                continue
+            if _is_checkpoint_dir(os.path.join(path, name)):
+                epochs.append(n)
+    if epochs:
+        return os.path.join(path, f'checkpoint_epoch{max(epochs)}')
+    # a log dir of run dirs: newest run with a complete checkpoint wins
+    runs = sorted((os.path.join(path, d) for d in os.listdir(path)
+                   if os.path.isdir(os.path.join(path, d))),
+                  key=os.path.getmtime, reverse=True)
+    for run in runs:
+        found = find_latest_checkpoint(run)
+        if found:
+            return found
+    return None
+
+
+def load_checkpoint(path, state_template=None):
+    """Returns (state, cfg).
+
+    Orbax restores the pytree with dicts in place of the optax NamedTuples
+    inside ``opt_state`` — fine for eval (params/batch_stats are plain dicts)
+    but a resumed ``train_step`` would crash on ``opt_state.mu``. Pass
+    ``state_template`` (any TrainState with the right structure, e.g. the one
+    ``trainer.init_state`` built) to cast the restored leaves back onto the
+    real structure; resume paths must do this."""
     path = os.path.abspath(path)
     with open(os.path.join(path, _CFG_FILE)) as f:
         # non-strict: a renamed/removed default key must not make old ckpts unloadable
         cfg = get_cfg(cfg_dict=json.load(f), cfg_dict_strict=False)
     with ocp.PyTreeCheckpointer() as ckptr:
+        if state_template is not None:
+            template = jax.tree.map(np.asarray, jax.device_get(state_template))
+            return ckptr.restore(os.path.join(path, _STATE_DIR),
+                                 item=template), cfg
         restored = ckptr.restore(os.path.join(path, _STATE_DIR))
     state = TrainState(
         step=restored['step'], params=restored['params'],

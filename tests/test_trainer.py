@@ -218,3 +218,77 @@ def test_dataloader_prewarp_transform_wiring():
     assert b['warped_label_stack'].shape[:2] == (cfg.BATCHSIZE, n_t)
     assert b['warped_label_stack'].shape[-1] == 7
     assert np.isfinite(b['warped_label_stack']).all()
+
+
+def test_resume_equivalence(setup, tmp_path):
+    """Preemption recovery (SURVEY §5): train k steps, checkpoint, resume,
+    train k more == 2k uninterrupted — params, opt_state, batch_stats all
+    bit-identical. Holds because train_step folds rng with state.step
+    (trainer.py:128) and the checkpoint stores the full TrainState."""
+    from fiery_tpu.utils.checkpoint import (find_latest_checkpoint,
+                                            load_checkpoint, save_checkpoint)
+    cfg, dataset, trainer, batch, state = setup
+    train_step = jax.jit(trainer.train_step)
+    rng = jax.random.key(7)
+
+    k = 2
+    for _ in range(k):
+        state, _ = train_step(state, batch, rng)
+    run_dir = tmp_path / 'run'
+    save_checkpoint(str(run_dir / f'checkpoint_epoch0'), state, cfg)
+
+    uninterrupted = state
+    for _ in range(k):
+        uninterrupted, _ = train_step(uninterrupted, batch, rng)
+
+    resolved = find_latest_checkpoint(str(run_dir))
+    assert resolved == str(run_dir / 'checkpoint_epoch0')
+    # state_template restores opt_state's optax NamedTuple structure —
+    # without it a resumed train_step crashes on dict opt_state leaves
+    resumed, cfg2 = load_checkpoint(resolved, state_template=state)
+    assert int(np.asarray(resumed.step)) == k
+    for _ in range(k):
+        resumed, _ = train_step(resumed, batch, rng)
+
+    assert int(np.asarray(resumed.step)) == int(np.asarray(uninterrupted.step)) == 2 * k
+    for name, a, b in (
+            ('params', uninterrupted.params, resumed.params),
+            ('batch_stats', uninterrupted.batch_stats, resumed.batch_stats),
+            ('opt_state', uninterrupted.opt_state, resumed.opt_state)):
+        leaves_a = jax.tree.leaves(a)
+        leaves_b = jax.tree.leaves(b)
+        assert len(leaves_a) == len(leaves_b), name
+        for la, lb in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=name)
+
+
+def test_find_latest_checkpoint_resolution(setup, tmp_path):
+    """Run-dir / log-dir resolution rules for --resume auto: highest complete
+    epoch wins; checkpoint_final beats epochs; a partially-written checkpoint
+    (state/ present, config.json missing — the async-save crash signature) is
+    skipped; empty dirs resolve to None."""
+    import os
+    from fiery_tpu.utils.checkpoint import find_latest_checkpoint, save_checkpoint
+    cfg, dataset, trainer, batch, state = setup
+
+    assert find_latest_checkpoint(str(tmp_path / 'nope')) is None
+
+    run = tmp_path / 'logs' / 'run_a'
+    save_checkpoint(str(run / 'checkpoint_epoch0'), state, cfg)
+    save_checkpoint(str(run / 'checkpoint_epoch2'), state, cfg)
+    # interrupted write: state dir exists, no config.json commit marker
+    partial = run / 'checkpoint_epoch3'
+    os.makedirs(partial / 'state')
+    assert find_latest_checkpoint(str(run)) == str(run / 'checkpoint_epoch2')
+
+    save_checkpoint(str(run / 'checkpoint_final'), state, cfg)
+    assert find_latest_checkpoint(str(run)) == str(run / 'checkpoint_final')
+
+    # a direct checkpoint path passes through untouched
+    direct = str(run / 'checkpoint_epoch0')
+    assert find_latest_checkpoint(direct) == direct
+
+    # log dir of runs: newest run holding a complete checkpoint
+    assert find_latest_checkpoint(str(tmp_path / 'logs')) == str(
+        run / 'checkpoint_final')

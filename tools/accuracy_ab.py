@@ -33,9 +33,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update('jax_platforms', 'cpu')
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_fiery_tpu')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+# --platform axon runs the study on the real TPU chip (fast steps, slow
+# compiles); default stays CPU. Must be decided before first backend use.
+if '--platform' in sys.argv:
+    _plat = sys.argv[sys.argv.index('--platform') + 1]
+else:
+    _plat = 'cpu'
+if _plat != 'axon':
+    jax.config.update('jax_platforms', _plat)
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_fiery_tpu')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -108,18 +115,24 @@ def _val_batches(cfg):
     return [ds.get_batch([i]) for i in range(N_VAL)]
 
 
-def train_mode(mode, steps, log_every=50):
-    """Train one lever mode from the shared init; returns (state, losses)."""
+def train_mode(mode, steps, log_every=50, seed=0, eval_hook=None,
+               eval_every=0):
+    """Train one lever mode; returns (state, losses).
+
+    ``seed`` varies init / batch order / step rng (train data stays the same
+    scripted scenes, so seed spread measures run noise, not data noise).
+    ``eval_hook(state, step_i)`` runs every ``eval_every`` steps (VPQ curve).
+    """
     from fiery_tpu.data.synthetic import SyntheticFutureDataset
     from fiery_tpu.training.trainer import Trainer
 
     cfg = _cfg(MODES[mode])
     trainer = Trainer(cfg)
     ds = SyntheticFutureDataset(cfg, n_samples=N_TRAIN, n_instances=3, seed=0)
-    order = np.random.RandomState(7)
+    order = np.random.RandomState(7 + 1000 * seed)
     batch0 = {k: jnp.asarray(v)
               for k, v in ds.get_batch(list(range(cfg.BATCHSIZE))).items()}
-    state = jax.jit(trainer.init_state)(jax.random.key(0), batch0)
+    state = jax.jit(trainer.init_state)(jax.random.key(seed), batch0)
     step = jax.jit(trainer.train_step, donate_argnums=(0,))
 
     losses = []
@@ -127,12 +140,15 @@ def train_mode(mode, steps, log_every=50):
     for i in range(steps):
         idx = order.choice(N_TRAIN, size=cfg.BATCHSIZE, replace=False)
         batch = {k: jnp.asarray(v) for k, v in ds.get_batch(list(idx)).items()}
-        state, metrics = step(state, batch, jax.random.fold_in(jax.random.key(1), i))
+        state, metrics = step(state, batch,
+                              jax.random.fold_in(jax.random.key(1 + seed), i))
         losses.append(float(metrics['total_loss']))
         if (i + 1) % log_every == 0:
             rate = (i + 1) / (time.time() - t0)
-            print(f'[{mode}] step {i + 1}/{steps} loss={losses[-1]:.4f} '
+            print(f'[{mode} s{seed}] step {i + 1}/{steps} loss={losses[-1]:.4f} '
                   f'({rate:.2f} steps/s)', flush=True)
+        if eval_hook is not None and eval_every and (i + 1) % eval_every == 0:
+            eval_hook(state, i + 1)
     return state, losses
 
 
@@ -161,32 +177,50 @@ def evaluate_state(state, serve_overrides, val_batches):
             'vpq': float(pan.compute()['pq'][1])}
 
 
-def run_train_study(steps, out_path):
+def run_train_study(steps, out_path, seeds=(0,)):
+    """Per-mode x per-seed train + eval. With >=3 seeds the table reports
+    mean +/- sd so lever deltas can be judged against seed noise (the 200-step
+    single-seed round-3 table could not — VERDICT r4 weak #3)."""
     results = {}
-    val = None
+    val = _val_batches(_cfg({}))
     dense_state = None
     for mode in MODES:
-        state, losses = train_mode(mode, steps)
-        if val is None:
-            val = _val_batches(_cfg({}))
-        row = {
-            'final_loss_mean_last50': float(np.mean(losses[-50:])),
-            'eval_matched': evaluate_state(state, MODES[mode], val),
-            'eval_dense_parity': evaluate_state(state, MODES['dense'], val),
-        }
-        if mode == 'dense':
-            dense_state = state
-            # cache for run_activation_study (same BASE cfg) so it need not
-            # retrain the dense reference on this 1-core box; the filename is
-            # fingerprinted by (steps, BASE cfg) so a stale state from a run
-            # with different settings is never silently reused
-            import pickle
-            with open(_dense_cache_path(steps), 'wb') as f:
-                pickle.dump(jax.device_get(dense_state), f)
-        results[mode] = row
-        print(f'== {mode}: {json.dumps(row)}', flush=True)
+        per_seed = []
+        for seed in seeds:
+            state, losses = train_mode(mode, steps, seed=seed)
+            row = {
+                'seed': seed,
+                'final_loss_mean_last50': float(np.mean(losses[-50:])),
+                'eval_matched': evaluate_state(state, MODES[mode], val),
+                'eval_dense_parity': evaluate_state(state, MODES['dense'], val),
+            }
+            per_seed.append(row)
+            print(f'== {mode} seed {seed}: {json.dumps(row)}', flush=True)
+            if mode == 'dense' and seed == seeds[0]:
+                dense_state = state
+                # cache for run_activation_study (same BASE cfg) so it need
+                # not retrain the dense reference; fingerprinted by
+                # (steps, BASE, n_train) so stale states are never reused
+                import pickle
+                with open(_dense_cache_path(steps), 'wb') as f:
+                    pickle.dump(jax.device_get(dense_state), f)
 
-    # serving-only levers on the dense-trained checkpoint
+        def agg(path_a, path_b):
+            vals = [r[path_a][path_b] for r in per_seed]
+            return {'mean': round(float(np.mean(vals)), 4),
+                    'sd': round(float(np.std(vals)), 4), 'values': vals}
+
+        results[mode] = {
+            'per_seed': per_seed,
+            'iou_matched': agg('eval_matched', 'iou'),
+            'vpq_matched': agg('eval_matched', 'vpq'),
+            'iou_dense_parity': agg('eval_dense_parity', 'iou'),
+            'vpq_dense_parity': agg('eval_dense_parity', 'vpq'),
+        }
+        print(f'== {mode} aggregate: iou {results[mode]["iou_matched"]} '
+              f'vpq {results[mode]["vpq_matched"]}', flush=True)
+
+    # serving-only levers on the dense-trained checkpoint (seed 0)
     cross = {}
     for serve in ['topk8', 'warpfree', 'topk8_warpfree']:
         cross[serve] = evaluate_state(dense_state, MODES[serve], val)
@@ -195,10 +229,37 @@ def run_train_study(steps, out_path):
     results['dense_trained_cross_serving'] = cross
 
     with open(out_path, 'w') as f:
-        json.dump({'steps': steps, 'n_train': N_TRAIN, 'n_val': N_VAL,
-                   'base_cfg': BASE, 'results': results}, f, indent=1)
+        json.dump({'steps': steps, 'seeds': list(seeds), 'n_train': N_TRAIN,
+                   'n_val': N_VAL, 'base_cfg': BASE, 'results': results}, f,
+                  indent=1)
     print(f'wrote {out_path}')
     return results
+
+
+def run_curve_study(max_steps, eval_every, out_path, seed=0):
+    """Budget diagnostic (VERDICT r4 next #3): train DENSE only, eval the full
+    IoU/VPQ protocol every ``eval_every`` steps — find the first budget where
+    instance grouping emerges (VPQ > 0) so the lever study can be powered
+    correctly. Also the first end-to-end exercise of
+    decode -> temporal consistency -> VPQ on *learned* predictions."""
+    val = _val_batches(_cfg({}))
+    curve = []
+
+    def hook(state, step_i):
+        t0 = time.time()
+        scores = evaluate_state(state, MODES['dense'], val)
+        curve.append({'step': step_i, **scores})
+        print(f'== curve step {step_i}: {json.dumps(scores)} '
+              f'(eval {time.time() - t0:.0f}s)', flush=True)
+        with open(out_path, 'w') as f:
+            json.dump({'max_steps': max_steps, 'eval_every': eval_every,
+                       'seed': seed, 'n_train': N_TRAIN, 'curve': curve}, f,
+                      indent=1)
+
+    state, _ = train_mode('dense', max_steps, seed=seed, eval_hook=hook,
+                          eval_every=eval_every)
+    print(f'wrote {out_path}')
+    return curve
 
 
 # ---------------------------------------------------------------------------
@@ -338,14 +399,27 @@ def run_activation_study(steps, out_path):
 
 
 def main():
+    global N_TRAIN
     parser = argparse.ArgumentParser()
-    parser.add_argument('study', choices=['train', 'activation'])
+    parser.add_argument('study', choices=['train', 'activation', 'curve'])
     parser.add_argument('--steps', type=int, default=400)
+    parser.add_argument('--seeds', type=int, default=1,
+                        help='train study: number of seeds per mode')
+    parser.add_argument('--eval-every', type=int, default=250,
+                        help='curve study: eval cadence in steps')
+    parser.add_argument('--n-train', type=int, default=None,
+                        help='override the training-set size (default 16)')
+    parser.add_argument('--platform', default='cpu',
+                        help="'cpu' (default) or 'axon' (real TPU)")
     parser.add_argument('--out', default=None)
     args = parser.parse_args()
+    if args.n_train is not None:
+        N_TRAIN = args.n_train
     out = args.out or f'/tmp/accuracy_ab_{args.study}.json'
     if args.study == 'train':
-        run_train_study(args.steps, out)
+        run_train_study(args.steps, out, seeds=tuple(range(args.seeds)))
+    elif args.study == 'curve':
+        run_curve_study(args.steps, args.eval_every, out)
     else:
         run_activation_study(args.steps, out)
 

@@ -50,13 +50,16 @@ def measure(tag, packed_k, cfg_extra=None, iters=10, temporal=False,
                    donate_argnums=(0,))
     rng = jax.random.key(1)
     t0 = time.time()
-    state, _ = step(state, b, rng)
-    jax.block_until_ready(state)
-    print(f'[{tag}] compile {time.time() - t0:.0f}s', flush=True)
+    state, metrics = step(state, b, rng)
+    # real device sync: block_until_ready through the tunnel can return
+    # without syncing (round-5 CLAUDE.md); the first pull in a process also
+    # pays the one-time ~3 min d2h-channel init here, outside the timed loop
+    float(metrics['total_loss'])
+    print(f'[{tag}] compile+warm {time.time() - t0:.0f}s', flush=True)
     t0 = time.time()
     for _ in range(iters):
-        state, _ = step(state, b, rng)
-    jax.block_until_ready(state)
+        state, metrics = step(state, b, rng)
+    float(metrics['total_loss'])   # real sync at loop end
     dt = (time.time() - t0) / iters
     print(f'RESULT [{tag}] {dt * 1e3:.1f} ms/step  {BATCH / dt:.2f} clips/s',
           flush=True)

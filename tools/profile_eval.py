@@ -62,12 +62,19 @@ with open(os.path.join(trace_dir, 'hlo.txt'), 'w') as f:
     f.write(fn.as_text())
 print('dumped optimized HLO', flush=True)
 
+def _pull(tree):
+    # real device sync: block_until_ready through the tunnel can return
+    # without syncing (round-5 CLAUDE.md)
+    import jax as _jax
+    return float(_jax.tree_util.tree_leaves(tree)[0].ravel()[0])
+
+
 out = fn(variables, *args)
-jax.block_until_ready(out)
+_pull(out)   # also pays the one-time ~3 min d2h-channel init
 t0 = time.time()
 for _ in range(20):
     out = fn(variables, *args)
-jax.block_until_ready(out)
+_pull(out)
 dt = (time.time() - t0) / 20
 print(f'steady {"e2e" if e2e else "fwd"}: {dt*1e3:.2f} ms  ({batch/dt:.2f} clips/s)'
       f'  topk={topk} warp_free={warp_free}', flush=True)
@@ -75,7 +82,7 @@ print(f'steady {"e2e" if e2e else "fwd"}: {dt*1e3:.2f} ms  ({batch/dt:.2f} clips
 jax.profiler.start_trace(trace_dir)
 for _ in range(3):
     out = fn(variables, *args)
-jax.block_until_ready(out)
+_pull(out)   # real sync before stopping the trace
 jax.profiler.stop_trace()
 
 ranked, planes = summarise_trace(trace_dir, top=60)

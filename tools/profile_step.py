@@ -62,21 +62,25 @@ with open(os.path.join(trace_dir, 'hlo.txt'), 'w') as f:
 print('dumped optimized HLO', flush=True)
 t0 = time.time()
 state, metrics = step(state, b, rng)
-jax.block_until_ready(state)
-print(f'first step: {time.time()-t0:.1f}s', flush=True)
+# block_until_ready through the tunnel can return WITHOUT a device sync
+# (round-5 CLAUDE.md): pull a real scalar instead. The first pull in a
+# process also pays the one-time ~3 min d2h channel init here, keeping it
+# out of the timed regions below.
+float(metrics['total_loss'])
+print(f'first step (incl d2h-channel init): {time.time()-t0:.1f}s', flush=True)
 
 # warm + time
 t0 = time.time()
 for _ in range(10):
     state, metrics = step(state, b, rng)
-jax.block_until_ready(state)
+float(metrics['total_loss'])   # real sync
 dt = (time.time() - t0) / 10
 print(f'steady step: {dt*1e3:.1f} ms  ({batch/dt:.2f} clips/s)', flush=True)
 
 jax.profiler.start_trace(trace_dir)
 for _ in range(3):
     state, metrics = step(state, b, rng)
-jax.block_until_ready(state)
+float(metrics['total_loss'])   # real sync before stopping the trace
 jax.profiler.stop_trace()
 
 ranked, planes = summarise_trace(trace_dir, top=80)

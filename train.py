@@ -71,7 +71,10 @@ class MetricLogger:
 def main():
     parser = get_parser()
     parser.add_argument('--resume', default='', type=str,
-                        help='checkpoint directory to resume training from')
+                        help='resume training from: a checkpoint dir, a run dir '
+                             '(latest checkpoint_epochN picked automatically), '
+                             "or the literal 'auto' (newest complete checkpoint "
+                             'under cfg.LOG_DIR — preemption recovery)')
     parser.add_argument('--profile-dir', default='', type=str,
                         help='start a jax.profiler trace into this directory')
     parser.add_argument('--camera-parallel', default=1, type=int,
@@ -162,10 +165,23 @@ def main():
     state = jax.jit(trainer.init_state)(jax.random.key(0), first_batch)
     start_epoch = 0
     if args.resume:
-        from fiery_tpu.utils.checkpoint import load_checkpoint
-        print(f'Resuming from {args.resume}')
-        state, _ = load_checkpoint(args.resume)
-        start_epoch = int(np.asarray(state.step)) // max(1, len(trainloader))
+        from fiery_tpu.utils.checkpoint import (find_latest_checkpoint,
+                                                load_checkpoint)
+        target = cfg.LOG_DIR if args.resume == 'auto' else args.resume
+        resolved = find_latest_checkpoint(target)
+        if resolved is None:
+            if args.resume == 'auto':
+                # cold start: nothing saved yet — begin training from scratch
+                print(f'--resume auto: no checkpoint under {target}, '
+                      'starting fresh')
+            else:
+                raise SystemExit(f'--resume: no complete checkpoint at {target}')
+        else:
+            print(f'Resuming from {resolved}')
+            # state_template casts opt_state back onto the optax NamedTuple
+            # structure (orbax restores raw dicts, which train_step can't use)
+            state, _ = load_checkpoint(resolved, state_template=state)
+            start_epoch = int(np.asarray(state.step)) // max(1, len(trainloader))
     elif cfg.PRETRAINED.LOAD_WEIGHTS and cfg.PRETRAINED.PATH:
         # orbax dir, torch FIERY ckpt, or standalone ImageNet EfficientNet .pth
         # (the reference's default init, encoder.py:16)

@@ -75,7 +75,19 @@ def truncation_index(version, downsample):
 
 
 class MBConvBlock(nn.Module):
-    """Mobile inverted bottleneck with squeeze-excitation and drop-connect."""
+    """Mobile inverted bottleneck with squeeze-excitation and drop-connect.
+
+    packed_k > 1: input/output arrive on the space-to-channel packed
+    (H, W/k, k*C) view (models/packed.py). Everything except the depthwise
+    conv runs packed — the 1x1 expand/project convs as slot-wise grouped
+    convs (SlotwiseConv1x1: identical params AND FLOPs), BN + swish + the
+    residual add on the packed view (layers.py packed_k=), SE pooling as the
+    equal-count mean of per-slot means. The depthwise conv itself cannot ride
+    the slot-major packed layout (its taps cross slots of the same original
+    channel, which violates grouped-conv contiguity), so the value unpacks
+    around it — a reshape whose HBM cost is the buffer the unpacked path
+    writes anyway. Param names/shapes identical to the unpacked path.
+    """
     kernel: int
     stride: int
     expand_ratio: int
@@ -84,48 +96,74 @@ class MBConvBlock(nn.Module):
     bn_momentum: float = 0.1
     bn_epsilon: float = 1e-3
     dtype: Optional[Any] = None
+    packed_k: int = 1
 
     @nn.compact
     def __call__(self, x, drop_rate: float = 0.0, train: bool = False):
+        k = self.packed_k
         inputs = x
-        in_channels = x.shape[-1]
+        in_channels = x.shape[-1] // k
         expanded = in_channels * self.expand_ratio
+        names = iter(f'Conv_{i}' for i in range(5))
+
+        def conv1x1(features, use_bias, value):
+            name = next(names)
+            if k > 1:
+                from fiery_tpu.models.packed import SlotwiseConv1x1
+                return SlotwiseConv1x1(features, k=k, use_bias=use_bias,
+                                       kernel_init=conv_init, dtype=self.dtype,
+                                       name=name)(value)
+            return nn.Conv(features, (1, 1), use_bias=use_bias,
+                           kernel_init=conv_init, dtype=self.dtype,
+                           name=name)(value)
 
         # swish activations ride the BN's packed-lane epilogue (layers.py
         # post=: exact, same op order) instead of separate unpacked passes
         if self.expand_ratio != 1:
-            x = nn.Conv(expanded, (1, 1), use_bias=False, kernel_init=conv_init,
-                        dtype=self.dtype)(x)
+            x = conv1x1(expanded, False, x)
             x = BatchNorm(momentum=self.bn_momentum, epsilon=self.bn_epsilon,
-                          dtype=self.dtype, post='swish')(x, train)
+                          dtype=self.dtype, post='swish', packed_k=k)(x, train)
 
-        # depthwise
+        # depthwise (unpacked: slot-crossing taps can't be grouped)
+        if k > 1:
+            from fiery_tpu.models.packed import pack_w, unpack_w
+            x = unpack_w(x, k)
         x = nn.Conv(expanded, (self.kernel, self.kernel), strides=(self.stride,) * 2,
                     padding='SAME', feature_group_count=expanded, use_bias=False,
-                    kernel_init=conv_init, dtype=self.dtype)(x)
+                    kernel_init=conv_init, dtype=self.dtype, name=next(names))(x)
+        if k > 1:
+            x = pack_w(x, k)
         x = BatchNorm(momentum=self.bn_momentum, epsilon=self.bn_epsilon,
-                      dtype=self.dtype, post='swish')(x, train)
+                      dtype=self.dtype, post='swish', packed_k=k)(x, train)
 
         if self.se_ratio and 0 < self.se_ratio <= 1:
             squeezed_ch = max(1, int(in_channels * self.se_ratio))
-            s = jnp.mean(x, axis=(-3, -2), keepdims=True)
+            if k > 1:
+                # equal-count slot means -> exact global spatial mean
+                s = jnp.mean(x, axis=(-3, -2), keepdims=True)
+                s = jnp.mean(s.reshape(s.shape[:-1] + (k, expanded)), axis=-2)
+            else:
+                s = jnp.mean(x, axis=(-3, -2), keepdims=True)
             s = nn.Conv(squeezed_ch, (1, 1), use_bias=True, kernel_init=conv_init,
-                        dtype=self.dtype)(s)
+                        dtype=self.dtype, name=next(names))(s)
             s = nn.silu(s)
             s = nn.Conv(expanded, (1, 1), use_bias=True, kernel_init=conv_init,
-                        dtype=self.dtype)(s)
-            x = jax.nn.sigmoid(s) * x
+                        dtype=self.dtype, name=next(names))(s)
+            gate = jax.nn.sigmoid(s)
+            if k > 1:
+                gate = jnp.concatenate([gate] * k, axis=-1)
+            x = gate * x
 
-        x = nn.Conv(self.out_channels, (1, 1), use_bias=False, kernel_init=conv_init,
-                    dtype=self.dtype)(x)
+        x = conv1x1(self.out_channels, False, x)
         has_skip = self.stride == 1 and in_channels == self.out_channels
         # the residual add rides the BN epilogue too, except when drop-connect
         # must scale/mask the branch first (train with drop_rate > 0; both are
         # trace-time constants, so the lowering is chosen statically)
         fold_add = has_skip and not (train and drop_rate > 0)
         x = BatchNorm(momentum=self.bn_momentum, epsilon=self.bn_epsilon,
-                      dtype=self.dtype, post='add' if fold_add else 'none')(
-                          x, train, residual=inputs if fold_add else None)
+                      dtype=self.dtype, post='add' if fold_add else 'none',
+                      packed_k=k)(x, train,
+                                  residual=inputs if fold_add else None)
 
         if has_skip and not fold_add:
             keep = 1.0 - drop_rate
@@ -146,6 +184,9 @@ class EfficientNetFPN(nn.Module):
     downsample: int = 8
     bn_momentum: float = 0.1
     dtype: Optional[Any] = None
+    packed_k: int = 1   # >1: run the backbone on the space-to-channel packed
+                        # view — the C=24..112 stage buffers lane-pad 4-5x in
+                        # HBM (CLAUDE.md); see MBConvBlock.packed_k
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -154,12 +195,35 @@ class EfficientNetFPN(nn.Module):
         last_idx = truncation_index(self.version, self.downsample)
         n_blocks = last_idx + 1  # reference scales by the truncated length (encoder.py:70)
 
+        pk = self.packed_k
+        if pk > 1:
+            # every packed width (stem output W/2 and each stride-2 stage
+            # below it) must divide by pk; fall back to unpacked otherwise
+            w_out = (x.shape[-2] + 1) // 2
+            for k_, s_, *_ in specs[:n_blocks]:
+                if s_ == 2:
+                    w_out = (w_out + 1) // 2
+                if w_out % pk:
+                    pk = 1
+                    break
+
         # Stem: conv 3x3 s2 + BN + swish
         stem_ch = round_filters(32, width)
-        x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding='SAME', use_bias=False,
-                    kernel_init=conv_init, dtype=self.dtype)(x)
+        if pk > 1:
+            from fiery_tpu.models.packed import PackedConv, unpack_w
+            h_in, w_in = x.shape[-3], x.shape[-2]
+            # TF SAME padding of a 3x3 s2 conv, per dim: total = k - 1 - (n-1) % 2
+            pad = tuple((t // 2, t - t // 2)
+                        for t in (2 - (h_in - 1) % 2, 2 - (w_in - 1) % 2))
+            x = PackedConv(stem_ch, (3, 3), k=1, k_out=pk, stride=2,
+                           padding=pad, kernel_init=conv_init,
+                           dtype=self.dtype, name='Conv_0')(x)
+        else:
+            x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding='SAME',
+                        use_bias=False, kernel_init=conv_init,
+                        dtype=self.dtype, name='Conv_0')(x)
         x = BatchNorm(momentum=self.bn_momentum, epsilon=1e-3, dtype=self.dtype,
-                      post='swish')(x, train)
+                      post='swish', packed_k=pk)(x, train)
 
         endpoints = {}
         prev = x
@@ -168,12 +232,15 @@ class EfficientNetFPN(nn.Module):
             drop = drop_connect_rate * float(idx) / n_blocks
             x = MBConvBlock(kernel=k, stride=s, expand_ratio=e, out_channels=co,
                             se_ratio=se, bn_momentum=self.bn_momentum,
-                            dtype=self.dtype)(x, drop_rate=drop, train=train)
+                            dtype=self.dtype, packed_k=pk)(
+                                x, drop_rate=drop, train=train)
             if prev.shape[-3] > x.shape[-3]:
                 endpoints[f'reduction_{len(endpoints) + 1}'] = prev
             prev = x
         endpoints[f'reduction_{len(endpoints) + 1}'] = x
 
+        if pk > 1:
+            endpoints = {name: unpack_w(v, pk) for name, v in endpoints.items()}
         if self.downsample == 16:
             return endpoints['reduction_5'], endpoints['reduction_4']
         return endpoints['reduction_4'], endpoints['reduction_3']

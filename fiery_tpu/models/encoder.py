@@ -32,9 +32,16 @@ class Encoder(nn.Module):
         instead of the dense outer-product volume — the sparse top-k splat
         (ops/lift_splat.py lift_splat_topk) selects depth bins before lifting."""
         C, D = self.out_channels, self.depth_channels
+        # FIERY_PACKED_ENCODER=k runs the EfficientNet backbone on the
+        # space-to-channel packed view (efficientnet.py MBConvBlock.packed_k;
+        # exact, same params). Read at trace time like the other FIERY_PACKED_*
+        # flags — use a fresh jit after flipping it.
+        import os
+        packed_k = max(1, int(os.environ.get('FIERY_PACKED_ENCODER', '0') or 0))
         feat_hi, feat_lo = EfficientNetFPN(
             version=self.version, downsample=self.downsample,
-            bn_momentum=self.bn_momentum, dtype=self.dtype)(x, train)
+            bn_momentum=self.bn_momentum, dtype=self.dtype,
+            packed_k=packed_k)(x, train)
         upsampling_out = 512 if self.downsample == 16 else 128
         x = UpsamplingConcat(upsampling_out, bn_momentum=self.bn_momentum,
                              dtype=self.dtype)(feat_hi, feat_lo, train)

@@ -107,6 +107,40 @@ def pack_kernel(kernel, k, in_parts=None, out_parts=None):
     return out, (qL, qR)
 
 
+class SlotwiseConv1x1(nn.Module):
+    """1x1 conv applied per packed slot: the packed (H, W/k, k*C) view is k
+    contiguous slot groups [s*C, (s+1)*C), so a 1x1 conv that treats each
+    slot independently is a grouped conv with the SAME (1, 1, Cin, Cout)
+    parameter tiled across groups — identical params AND identical FLOPs to
+    the unpacked nn.Conv (unlike PackedConv's k-fold dense kernels). The
+    packed lowering of every pointwise conv (EfficientNet expand/project,
+    encoder.py:7-104's MBConv internals) should use this."""
+    features: int
+    k: int = 2
+    use_bias: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, xp):
+        k = self.k
+        assert xp.shape[-1] % k == 0, (xp.shape, k)
+        Cin = xp.shape[-1] // k
+        kernel = self.param('kernel', self.kernel_init,
+                            (1, 1, Cin, self.features), jnp.float32)
+        dtype = self.dtype or xp.dtype
+        pk = jnp.concatenate([kernel.astype(dtype)] * k, axis=-1)
+        y = lax.conv_general_dilated(
+            xp.astype(dtype), pk, window_strides=(1, 1), padding='VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'), feature_group_count=k)
+        if self.use_bias:
+            bias = self.param('bias', self.bias_init, (self.features,),
+                              jnp.float32).astype(dtype)
+            y = y + jnp.tile(bias, k)
+        return y
+
+
 def pack_kernel_strided(kernel, k_in, k_out, stride, pad):
     """Generalised packed-kernel rearrangement: strided and mixed-pack convs.
 
@@ -185,6 +219,11 @@ class PackedConv(nn.Module):
     out_parts: Optional[Sequence[Tuple[int, int]]] = None
     stride: int = 1
     k_out: Optional[int] = None              # output packing; default = k
+    # Explicit ORIGINAL-coordinate padding ((ph_l, ph_r), (pw_l, pw_r)) for
+    # the strided path — needed for TF-SAME convs whose padding is asymmetric
+    # (e.g. the EfficientNet stem: 3x3 s2 on even dims pads (0, 1)). None
+    # keeps the symmetric torch-style default.
+    padding: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
 
     @nn.compact
     def __call__(self, xp):
@@ -197,9 +236,10 @@ class PackedConv(nn.Module):
         kernel = self.param('kernel', self.kernel_init,
                             (Kh, Kw, Cin, self.features), jnp.float32)
         dtype = self.dtype or xp.dtype
-        ph = (Kh - 1) // 2
+        ph = ((Kh - 1) // 2,) * 2 if self.padding is None else self.padding[0]
         k_mid = k_out
         if self.stride == 1 and k_out == k:
+            assert self.padding is None, 'explicit padding: strided path only'
             pk, (qL, qR) = pack_kernel(kernel.astype(dtype), k,
                                        in_parts=self.in_parts,
                                        out_parts=self.out_parts)
@@ -211,11 +251,23 @@ class PackedConv(nn.Module):
                 # k_out=1): lower at the smallest k_mid multiple of k_out with
                 # an integral packed stride, then repack the output below.
                 k_mid = k_out * (k // math.gcd(self.stride * k_out, k))
+            pw = ((Kw - 1) // 2,) * 2 if self.padding is None else self.padding[1]
             pk, stride_p, (qL, qR) = pack_kernel_strided(
-                kernel.astype(dtype), k, k_mid, self.stride, (Kw - 1) // 2)
+                kernel.astype(dtype), k, k_mid, self.stride, pw[0])
+            if self.padding is not None:
+                # asymmetric original padding: the kernel derivation fixes the
+                # LEFT alignment (taps are placed relative to pw[0]); the
+                # packed RIGHT pad is whatever yields the exact original
+                # output width (trailing zero-pad reads are zero blocks or
+                # true SAME zero-padding either way)
+                W = xp.shape[-2] * k
+                W_out = (W + pw[0] + pw[1] - Kw) // self.stride + 1
+                assert W_out % k_mid == 0, (W_out, k_mid)
+                qR = (W_out // k_mid - 1) * stride_p + (qL + qR + 1) \
+                    - xp.shape[-2] - qL
         y = lax.conv_general_dilated(
             xp.astype(dtype), pk, window_strides=(self.stride, stride_p),
-            padding=((ph, ph), (qL, qR)),
+            padding=(ph, (qL, qR)),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         if self.use_bias:
             bias = self.param('bias', self.bias_init, (self.features,),

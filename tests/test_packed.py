@@ -382,3 +382,145 @@ def test_packed_k_eval_selects_lowering():
     np.testing.assert_array_equal(np.asarray(yk), np.asarray(yt))
     for a, bb in zip(jax.tree.leaves(sk), jax.tree.leaves(st)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+def test_slotwise_conv1x1_matches_conv():
+    """SlotwiseConv1x1: same params AND same FLOPs as the unpacked 1x1 conv."""
+    from fiery_tpu.models.packed import SlotwiseConv1x1
+    rng = jax.random.PRNGKey(0)
+    for k, bias in ((2, False), (4, True)):
+        x = jax.random.normal(rng, (2, 6, 8 * k, 5), jnp.float32)
+        ref = nn.Conv(9, (1, 1), use_bias=bias, name='Conv_0')
+        sw = SlotwiseConv1x1(9, k=k, use_bias=bias, name='Conv_0')
+        params = ref.init(rng, x)
+        y_ref = ref.apply(params, x)
+        y_p = unpack_w(sw.apply(params, pack_w(x, k)), k)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('hw', [(16, 24), (17, 25), (10, 12)])
+def test_packed_conv_tf_same_stem(hw):
+    """PackedConv with explicit asymmetric TF-SAME padding == nn.Conv SAME
+    (the EfficientNet stem: 3x3 s2 from unpacked input to a packed output)."""
+    H, W = hw
+    k = 2
+    while (-(-W // 2)) % k:
+        W += 1   # packed stem output width must divide k
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (2, H, W, 3), jnp.float32)
+    ref = nn.Conv(10, (3, 3), strides=(2, 2), padding='SAME', use_bias=False,
+                  name='Conv_0')
+    pad = tuple((t // 2, t - t // 2)
+                for t in (2 - (H - 1) % 2, 2 - (W - 1) % 2))
+    pc = PackedConv(10, (3, 3), k=1, k_out=k, stride=2, padding=pad,
+                    use_bias=False, name='Conv_0')
+    params = ref.init(rng, x)
+    y_ref = ref.apply(params, x)
+    y_p = unpack_w(pc.apply(params, x), k)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('spec', [
+    # (kernel, stride, expand, in_ch, out_ch) — stage-1 (no expand, skip),
+    # stage-2-head (stride 2), mid block (expand 6, skip)
+    (3, 1, 1, 8, 6), (3, 2, 6, 6, 10), (5, 1, 6, 10, 10)])
+@pytest.mark.parametrize('train', [False, True])
+def test_packed_mbconv_matches(spec, train):
+    """Packed MBConvBlock == unpacked under the SAME param tree, both modes,
+    including the updated batch_stats."""
+    from fiery_tpu.models.efficientnet import MBConvBlock
+    kk, s, e, ci, co = spec
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (2, 8, 12, ci), jnp.float32)
+    kwargs = dict(kernel=kk, stride=s, expand_ratio=e, out_channels=co,
+                  se_ratio=0.25)
+    ref = MBConvBlock(**kwargs)
+    packed = MBConvBlock(**kwargs, packed_k=2)
+    variables = ref.init({'params': rng}, x, train=False)
+    if train:
+        y_ref, m_ref = ref.apply(variables, x, train=True,
+                                 mutable=['batch_stats'])
+        y_p, m_p = packed.apply(variables, pack_w(x, 2), train=True,
+                                mutable=['batch_stats'])
+        key = lambda e: str(e[0])
+        for (pa, a), (pb, b) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(m_ref), key=key),
+                sorted(jax.tree_util.tree_leaves_with_path(m_p), key=key)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(pa))
+    else:
+        y_ref = ref.apply(variables, x, train=False)
+        y_p = packed.apply(variables, pack_w(x, 2), train=False)
+    np.testing.assert_allclose(np.asarray(unpack_w(y_p, 2)), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('version', ['b0', 'b4'])
+def test_packed_efficientnet_fpn_matches(version):
+    """Whole packed backbone == unpacked on a shape where every stage width
+    divides (W=64: stem 32 -> 16 -> 8 -> 4)."""
+    from fiery_tpu.models.efficientnet import EfficientNetFPN
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (1, 32, 64, 3), jnp.float32)
+    ref = EfficientNetFPN(version=version, downsample=8)
+    packed = EfficientNetFPN(version=version, downsample=8, packed_k=2)
+    variables = ref.init({'params': rng}, x, train=False)
+    hi_ref, lo_ref = ref.apply(variables, x, train=False)
+    hi_p, lo_p = packed.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(hi_p), np.asarray(hi_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lo_p), np.asarray(lo_ref),
+                               rtol=1e-4, atol=1e-5)
+    # identical param trees by construction
+    p2 = packed.init({'params': rng}, x, train=False)
+    assert (jax.tree_util.tree_structure(variables['params'])
+            == jax.tree_util.tree_structure(p2['params']))
+    for a, b in zip(jax.tree_util.tree_leaves(variables['params']),
+                    jax.tree_util.tree_leaves(p2['params'])):
+        assert a.shape == b.shape
+
+
+def test_packed_efficientnet_fpn_gradients_match():
+    from fiery_tpu.models.efficientnet import EfficientNetFPN
+    rng = jax.random.PRNGKey(4)
+    x = jax.random.normal(rng, (1, 16, 32, 3), jnp.float32)
+    ref = EfficientNetFPN(version='b0', downsample=8)
+    packed = EfficientNetFPN(version='b0', downsample=8, packed_k=2)
+    variables = ref.init({'params': rng}, x, train=False)
+
+    def loss(module):
+        def f(params):
+            hi, lo = module.apply(
+                {'params': params, 'batch_stats': variables['batch_stats']},
+                x, train=False)
+            return jnp.sum(hi ** 2) + jnp.sum(lo ** 2)
+        return f
+
+    g_ref = jax.grad(loss(ref))(variables['params'])
+    g_p = jax.grad(loss(packed))(variables['params'])
+    scale = max(float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g_ref))
+    key = lambda e: str(e[0])
+    for (pa, a), (_, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(g_ref), key=key),
+            sorted(jax.tree_util.tree_leaves_with_path(g_p), key=key)):
+        np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
+                                   atol=1e-4, err_msg=str(pa))
+
+
+def test_packed_encoder_env_flag(monkeypatch):
+    """FIERY_PACKED_ENCODER routes the Encoder through the packed backbone
+    with unchanged outputs and param paths (weight-import compatibility)."""
+    from fiery_tpu.models.encoder import Encoder
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(rng, (2, 16, 32, 3), jnp.float32)
+    enc = Encoder(out_channels=8, depth_channels=4, version='b0', downsample=8)
+    monkeypatch.delenv('FIERY_PACKED_ENCODER', raising=False)
+    variables = enc.init({'params': rng}, x, train=False)
+    y_ref = enc.apply(variables, x, train=False)
+    monkeypatch.setenv('FIERY_PACKED_ENCODER', '2')
+    enc2 = Encoder(out_channels=8, depth_channels=4, version='b0', downsample=8)
+    y_p = enc2.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)

@@ -49,10 +49,14 @@ class MetricLogger:
 
     def video(self, key, frames, step):
         """frames: (1, T, H, W, 3) uint8 GT-vs-pred panel (reference trainer.py:193-198
-        logs a TB video). Written as an animated GIF on disk plus per-frame TB images
-        (the flax TB writer has no video op)."""
+        logs a TB video). Written as an animated GIF on disk AND as an animated-GIF
+        TB image summary (renders as a looping video in the TensorBoard images tab —
+        the same encoding tensorboardX's add_video produces, built with PIL since
+        moviepy is absent); falls back to per-frame TB images."""
+        import io
         import numpy as _np
         frames = _np.asarray(frames)
+        gif_bytes = None
         try:
             from PIL import Image
             vid_dir = os.path.join(self.log_dir, 'videos')
@@ -60,8 +64,27 @@ class MetricLogger:
             imgs = [Image.fromarray(frames[0, t]) for t in range(frames.shape[1])]
             imgs[0].save(os.path.join(vid_dir, f'{key}_step{step}.gif'),
                          save_all=True, append_images=imgs[1:], duration=500, loop=0)
+            buf = io.BytesIO()
+            imgs[0].save(buf, format='GIF', save_all=True, append_images=imgs[1:],
+                         duration=500, loop=0)
+            gif_bytes = buf.getvalue()
         except Exception:
             pass
+        if gif_bytes is not None:
+            try:
+                from tensorboardX import SummaryWriter
+                from tensorboardX.proto.summary_pb2 import Summary
+                if not hasattr(self, '_tbx'):
+                    self._tbx = SummaryWriter(self.log_dir)
+                img = Summary.Image(encoded_image_string=gif_bytes,
+                                    height=int(frames.shape[2]),
+                                    width=int(frames.shape[3]))
+                self._tbx.file_writer.add_summary(
+                    Summary(value=[Summary.Value(tag=key, image=img)]), step)
+                self._tbx.flush()
+                return
+            except Exception:
+                pass
         if self.tb is None:
             return
         for t in range(frames.shape[1]):

@@ -317,14 +317,17 @@ class Fiery(nn.Module):
             packed_k if _os.environ.get('FIERY_PACKED_DECODER', '1') == '1'
             else 1)
         # Serving (train=False) packing, selected at CALL time by the modules'
-        # packed_k_eval: the BN-folded eval graph has no BN/stat passes for
-        # packing to save — the all-packed bench queue measured serving
-        # REGRESS to 27.1 clips/s vs 32.5 unpacked (topk8+warp-free bf16
-        # batch 1), while training gained +14-20%. Default: eval runs
-        # UNPACKED (FIERY_PACKED_SPACE_EVAL=1); the lowering is exact either
-        # way, so train/eval may differ freely.
+        # packed_k_eval. ROUND-5 REVERSAL: the round-4 "packed serving
+        # regresses to 27.1 vs 32.5 clips/s" came from the broken
+        # block_until_ready sync; with trusted scalar-pull timing a
+        # one-process A-B-A-B measures packed serving at 39.9/39.7 vs
+        # unpacked 33.7/33.7 clips/s (+18%, topk8+warp-free bf16 batch 1
+        # BN-folded; e2e 24.0 vs 22.3) — the packed VALUES still save padded
+        # HBM bytes even with BN folded. Default: eval runs PACKED k=2
+        # (FIERY_PACKED_SPACE_EVAL=2; set 1 to serve unpacked); the lowering
+        # is exact either way, so train/eval may differ freely.
         packed_k_eval = int(
-            _os.environ.get('FIERY_PACKED_SPACE_EVAL', '1') or 0)
+            _os.environ.get('FIERY_PACKED_SPACE_EVAL', '2') or 0)
         if packed_k_eval > 1 and c.bev_size[1] % packed_k_eval:
             packed_k_eval = 1
         packed_k_eval = max(packed_k_eval, 1)

@@ -360,8 +360,9 @@ def test_packed_k_eval_selects_lowering():
     packed_k=2, packed_k_eval=1 the train=False graph is the plain unpacked
     one (bit-identical outputs to an unpacked module) while train=True still
     runs packed (allclose to the packed module). This is the
-    FIERY_PACKED_SPACE_EVAL wiring (models/fiery.py): BN-folded serving graphs
-    measured FASTER unpacked (no BN passes left for packing to save)."""
+    FIERY_PACKED_SPACE_EVAL wiring (models/fiery.py); round 5 measured packed
+    serving FASTER (+18%) with trusted timing, so the default is packed, but
+    the call-time selection stays — either lowering is exact."""
     rng = jax.random.PRNGKey(0)
     b, t, H, W, latent, hs = 2, 3, 8, 16, 6, 16
     x = jax.random.normal(rng, (b, t, H, W, latent), jnp.float32)

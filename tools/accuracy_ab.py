@@ -110,9 +110,12 @@ def _cfg(mode_overrides):
 
 def _val_batches(cfg):
     from fiery_tpu.data.synthetic import SyntheticFutureDataset
-    # val seed far beyond train seed+index range: disjoint scripted scenes
+    # val seed far beyond train seed+index range: disjoint scripted scenes.
+    # Uploaded to device ONCE here — evaluate_state runs many times (curve /
+    # multi-seed study) and re-uploading through the dev tunnel dominates.
     ds = SyntheticFutureDataset(cfg, n_samples=N_VAL, n_instances=3, seed=1000)
-    return [ds.get_batch([i]) for i in range(N_VAL)]
+    return [{k: jnp.asarray(v) for k, v in ds.get_batch([i]).items()}
+            for i in range(N_VAL)]
 
 
 def train_mode(mode, steps, log_every=50, seed=0, eval_hook=None,
@@ -127,29 +130,61 @@ def train_mode(mode, steps, log_every=50, seed=0, eval_hook=None,
     from fiery_tpu.training.trainer import Trainer
 
     cfg = _cfg(MODES[mode])
-    trainer = Trainer(cfg)
+    if mode not in _TRAIN_STEP_CACHE:
+        trainer = Trainer(cfg)
+
+        def step_full(state, full, idx, rng, _trainer=trainer):
+            # batch selection INSIDE the jit: the whole (tiny) train set lives
+            # on device and each step dispatches ONE call with a (B,) index
+            # vector — no per-step host->device batch upload (1.2 MB/step
+            # through the 1-3 MB/s dev tunnel would otherwise dominate)
+            batch = jax.tree.map(lambda a: a[idx], full)
+            return _trainer.train_step(state, batch, rng)
+
+        _TRAIN_STEP_CACHE[mode] = (
+            jax.jit(trainer.init_state),
+            jax.jit(step_full, donate_argnums=(0,)))
+    init_state, step = _TRAIN_STEP_CACHE[mode]
     ds = SyntheticFutureDataset(cfg, n_samples=N_TRAIN, n_instances=3, seed=0)
     order = np.random.RandomState(7 + 1000 * seed)
-    batch0 = {k: jnp.asarray(v)
-              for k, v in ds.get_batch(list(range(cfg.BATCHSIZE))).items()}
-    state = jax.jit(trainer.init_state)(jax.random.key(seed), batch0)
-    step = jax.jit(trainer.train_step, donate_argnums=(0,))
+    full = {k: jnp.asarray(v)
+            for k, v in ds.get_batch(list(range(N_TRAIN))).items()}
+    state = init_state(jax.random.key(seed),
+                       jax.tree.map(lambda a: a[:cfg.BATCHSIZE], full))
 
-    losses = []
+    losses_dev = []
     t0 = time.time()
     for i in range(steps):
-        idx = order.choice(N_TRAIN, size=cfg.BATCHSIZE, replace=False)
-        batch = {k: jnp.asarray(v) for k, v in ds.get_batch(list(idx)).items()}
-        state, metrics = step(state, batch,
+        idx = jnp.asarray(order.choice(N_TRAIN, size=cfg.BATCHSIZE,
+                                       replace=False))
+        state, metrics = step(state, full, idx,
                               jax.random.fold_in(jax.random.key(1 + seed), i))
-        losses.append(float(metrics['total_loss']))
+        losses_dev.append(metrics['total_loss'])   # device scalar, no sync
         if (i + 1) % log_every == 0:
             rate = (i + 1) / (time.time() - t0)
-            print(f'[{mode} s{seed}] step {i + 1}/{steps} loss={losses[-1]:.4f} '
+            print(f'[{mode} s{seed}] step {i + 1}/{steps} '
+                  f'loss={float(losses_dev[-1]):.4f} '
                   f'({rate:.2f} steps/s)', flush=True)
         if eval_hook is not None and eval_every and (i + 1) % eval_every == 0:
             eval_hook(state, i + 1)
+    losses = [float(v) for v in np.asarray(jnp.stack(losses_dev))]
     return state, losses
+
+
+_EVAL_STEP_CACHE = {}
+_TRAIN_STEP_CACHE = {}
+
+
+def _cached_eval_step(serve_overrides):
+    """One compiled eval step per serving config per process — the VPQ curve
+    calls evaluate_state every eval_every steps, and a fresh jit would
+    recompile each time (minutes per point on the TPU backend)."""
+    key = json.dumps(serve_overrides, sort_keys=True)
+    if key not in _EVAL_STEP_CACHE:
+        from fiery_tpu.training.trainer import Trainer
+        trainer = Trainer(_cfg(serve_overrides))
+        _EVAL_STEP_CACHE[key] = jax.jit(trainer.eval_step)
+    return _EVAL_STEP_CACHE[key]
 
 
 def evaluate_state(state, serve_overrides, val_batches):
@@ -158,21 +193,22 @@ def evaluate_state(state, serve_overrides, val_batches):
     from fiery_tpu.postprocess.instance import (
         predict_instance_segmentation_and_trajectories)
     from fiery_tpu.training.metrics import IntersectionOverUnion, PanopticMetric
-    from fiery_tpu.training.trainer import Trainer
 
-    trainer = Trainer(_cfg(serve_overrides))
-    eval_step = jax.jit(trainer.eval_step)
+    eval_step = _cached_eval_step(serve_overrides)
     iou = IntersectionOverUnion(2)
     pan = PanopticMetric(2)
     for b in val_batches:
         bj = {k: jnp.asarray(v) for k, v in b.items()}
         output, labels, _ = eval_step(state, bj)
-        seg_pred = np.asarray(jnp.argmax(output['segmentation'], -1))
-        seg_label = np.asarray(labels['segmentation'])
+        # compress before the device->host pull (1-3.6 MB/s dev tunnel)
+        seg_pred = np.asarray(
+            jnp.argmax(output['segmentation'], -1).astype(jnp.uint8))
+        seg_label = np.asarray(labels['segmentation'].astype(jnp.uint8))
         consistent = predict_instance_segmentation_and_trajectories(output)
         iou.update(seg_pred.astype(np.int32), seg_label.astype(np.int32))
         pan.update(np.asarray(consistent).astype(np.int32),
-                   np.asarray(labels['instance']).astype(np.int32))
+                   np.asarray(labels['instance'].astype(jnp.int16))
+                   .astype(np.int32))
     return {'iou': float(iou.compute()[1]),
             'vpq': float(pan.compute()['pq'][1])}
 

@@ -22,11 +22,15 @@ from PIL import Image
 
 from fiery_tpu.data.labels import convert_instance_mask_to_center_and_offset_label
 from fiery_tpu.data.lyft_splits import TRAIN_LYFT_INDICES, VAL_LYFT_INDICES
-from fiery_tpu.utils.geometry import (
-    calculate_birds_eye_view_parameters,
-    mat2pose_vec,
-    pose_vec2mat,
+# numpy pose twins (label_warp.py): this module runs in data workers, which
+# must NEVER touch JAX — the jnp originals dispatch hundreds of tunnel ops
+# per sample when the default backend is the TPU (measured 640 ms/clip of
+# the loader's 2.2 s/clip in the round-5 host bench)
+from fiery_tpu.data.label_warp import (
+    _mat2pose_vec as mat2pose_vec_np,
+    _pose_vec2mat as pose_vec2mat_np,
 )
+from fiery_tpu.utils.geometry import calculate_birds_eye_view_parameters
 from fiery_tpu.utils.quaternion import (
     quat_inverse,
     quat_to_rotation_matrix,
@@ -238,14 +242,20 @@ class FuturePredictionDataset:
                 # f32; rint is exact (error ~1e-5 << 0.5) before the u8 cast
                 raw = decode_resize_crop_normalize(
                     blobs, resize_dims, crop, np.zeros(3, np.float32),
-                    np.full(3, 1.0 / 255.0, np.float32))
+                    np.full(3, 1.0 / 255.0, np.float32),
+                    fast_scale=bool(self.cfg.DATASET.FAST_DECODE))
                 return np.rint(raw).astype(np.uint8)
             except RuntimeError:
                 pass  # e.g. a non-JPEG file slipped in; fall back to PIL below
         images = []
         for path in filenames:
-            img = resize_and_crop_image(Image.open(path), resize_dims, crop)
-            images.append(np.asarray(img, dtype=np.uint8))
+            img = Image.open(path)
+            if self.cfg.DATASET.FAST_DECODE:
+                # PIL twin of the native fast path: DCT-domain scaled decode
+                # to the smallest size covering resize_dims
+                img.draft('RGB', (resize_dims[0], resize_dims[1]))
+            images.append(np.asarray(
+                resize_and_crop_image(img, resize_dims, crop), dtype=np.uint8))
         return np.stack(images)
 
     def _use_native_images(self):
@@ -368,7 +378,7 @@ class FuturePredictionDataset:
                 future_egomotion = _invert_rigid(egopose_t1) @ egopose_t0
                 future_egomotion[3, :3] = 0.0
                 future_egomotion[3, 3] = 1.0
-        return np.asarray(mat2pose_vec(future_egomotion.astype(np.float32)))
+        return mat2pose_vec_np(future_egomotion.astype(np.float32))
 
     # -- sample assembly --------------------------------------------------
     def __len__(self):
@@ -410,10 +420,10 @@ class FuturePredictionDataset:
         if self.cfg.MODEL.SUBSAMPLE:
             # Lyft 5Hz -> 2.5Hz: take every other frame, composing egomotions
             # (reference data.py:403-416)
-            ego_mat = np.asarray(pose_vec2mat(data['future_egomotion']))
+            ego_mat = pose_vec2mat_np(data['future_egomotion'])
             accum = np.zeros_like(ego_mat)
             accum[:-1] = ego_mat[:-1] @ ego_mat[1:]
-            accum_vec = np.asarray(mat2pose_vec(accum))
+            accum_vec = mat2pose_vec_np(accum)
             for key in data:
                 if key != 'future_egomotion':
                     data[key] = data[key][::2].copy()

@@ -60,7 +60,7 @@ def _load():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ]
             _lib = lib
         except Exception:
@@ -74,13 +74,19 @@ def image_pipe_available():
 
 
 def decode_resize_crop_normalize(jpeg_blobs, resize_dims, crop, mean, std,
-                                 n_threads=0):
+                                 n_threads=0, fast_scale=False):
     """Batch JPEG -> normalised float32 images, matching the PIL reference path.
 
     jpeg_blobs: list of ``bytes``; resize_dims: (width, height) like PIL;
     crop: (left, top, right, bottom) like PIL Image.crop; mean/std: (3,) floats.
     Returns (n, crop_h, crop_w, 3) float32. Raises RuntimeError if any image in
     the batch fails to decode.
+
+    fast_scale=True (DATASET.FAST_DECODE) decodes in the DCT domain at the
+    smallest M/8 ratio still covering resize_dims before the antialiased
+    resize — up to ~4x less IDCT + pixel work for nuScenes' 1600x900 ->
+    480x270 shrink. APPROXIMATE relative to the full-resolution reference
+    decode (PIL's Image.draft does the same thing); off the parity path.
     """
     lib = _load()
     if lib is None:
@@ -99,7 +105,8 @@ def decode_resize_crop_normalize(jpeg_blobs, resize_dims, crop, mean, std,
         n, ctypes.cast(blob_ptrs, ctypes.POINTER(ctypes.c_char_p)), lens,
         int(resize_dims[0]), int(resize_dims[1]), int(left), int(top),
         int(crop_w), int(crop_h), mean_arr, std_arr,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), int(n_threads))
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), int(n_threads),
+        1 if fast_scale else 0)
     if failures:
         raise RuntimeError(f'{failures}/{n} JPEGs failed to decode')
     return out

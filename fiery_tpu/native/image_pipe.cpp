@@ -39,8 +39,13 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG to tightly packed RGB8. Returns 0 on success.
+// min_w/min_h > 0 enable DCT-domain scaled decoding (the FAST_DECODE path):
+// libjpeg decodes at the smallest M/8 ratio whose output still covers
+// (min_w, min_h), so the IDCT and pixel traffic shrink up to 64x before the
+// (unchanged) antialiased resize finishes the job. Approximate relative to
+// the full-resolution decode+resize reference; selected per call.
 int decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
-                int* width, int* height) {
+                int* width, int* height, int min_w = 0, int min_h = 0) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -53,6 +58,16 @@ int decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (min_w > 0 && min_h > 0) {
+    for (int num = 1; num <= 8; ++num) {
+      cinfo.scale_num = num;
+      cinfo.scale_denom = 8;
+      jpeg_calc_output_dimensions(&cinfo);
+      if (static_cast<int>(cinfo.output_width) >= min_w &&
+          static_cast<int>(cinfo.output_height) >= min_h)
+        break;
+    }
+  }
   jpeg_start_decompress(&cinfo);
   *width = cinfo.output_width;
   *height = cinfo.output_height;
@@ -70,9 +85,16 @@ int decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
 // widened by the downscale ratio (antialias), weights normalised to 1.
 struct AxisWeights {
   std::vector<int> xmin, count;
-  std::vector<double> weights;  // per output index: count[i] taps starting at xmin[i]
+  // per output index: count[i] fixed-point taps starting at xmin[i]
+  std::vector<int32_t> weights;
   int max_count = 0;
 };
+
+// Fixed-point weight precision: Pillow's own 8bpc resample quantizes its
+// normalised double coefficients to int32 at this scale and accumulates in
+// int32 (src/libImaging/Resample.c) — doubles here measured ~1.5x slower
+// per-core than PIL on the same images; int accumulate restores parity.
+constexpr int kPrecisionBits = 15;
 
 AxisWeights build_weights(int in_size, int out_size) {
   AxisWeights w;
@@ -82,8 +104,9 @@ AxisWeights build_weights(int in_size, int out_size) {
   w.xmin.resize(out_size);
   w.count.resize(out_size);
   int kmax = static_cast<int>(std::ceil(support)) * 2 + 1;
-  w.weights.assign(static_cast<size_t>(out_size) * kmax, 0.0);
+  w.weights.assign(static_cast<size_t>(out_size) * kmax, 0);
   w.max_count = kmax;
+  std::vector<double> tmp(kmax);
   for (int i = 0; i < out_size; ++i) {
     double center = (i + 0.5) * scale;
     int lo = static_cast<int>(center - support + 0.5);
@@ -95,11 +118,13 @@ AxisWeights build_weights(int in_size, int out_size) {
       double t = (k - center + 0.5) / filterscale;
       double v = t < 0 ? 1.0 + t : 1.0 - t;  // triangle
       if (v < 0) v = 0;
-      w.weights[static_cast<size_t>(i) * kmax + (k - lo)] = v;
+      tmp[k - lo] = v;
       total += v;
     }
-    if (total > 0) {
-      for (int k = 0; k < hi - lo; ++k) w.weights[static_cast<size_t>(i) * kmax + k] /= total;
+    for (int k = 0; k < hi - lo; ++k) {
+      double v = total > 0 ? tmp[k] / total : 0.0;
+      w.weights[static_cast<size_t>(i) * kmax + k] =
+          static_cast<int32_t>(std::lround(v * (1 << kPrecisionBits)));
     }
     w.xmin[i] = lo;
     w.count[i] = hi - lo;
@@ -107,8 +132,9 @@ AxisWeights build_weights(int in_size, int out_size) {
   return w;
 }
 
-inline uint8_t clip8(double v) {
-  double r = std::round(v);
+inline uint8_t clip8(int32_t acc) {
+  // round-to-nearest of the fixed-point accumulator, clamped to u8
+  int32_t r = (acc + (1 << (kPrecisionBits - 1))) >> kPrecisionBits;
   if (r < 0) return 0;
   if (r > 255) return 255;
   return static_cast<uint8_t>(r);
@@ -125,9 +151,9 @@ void resize_rgb8(const uint8_t* src, int in_w, int in_h, uint8_t* dst, int out_w
     const uint8_t* row = src + static_cast<size_t>(y) * in_w * 3;
     uint8_t* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
     for (int x = 0; x < out_w; ++x) {
-      const double* ws = &wx.weights[static_cast<size_t>(x) * wx.max_count];
+      const int32_t* ws = &wx.weights[static_cast<size_t>(x) * wx.max_count];
       int lo = wx.xmin[x], n = wx.count[x];
-      double acc[3] = {0, 0, 0};
+      int32_t acc[3] = {0, 0, 0};
       for (int k = 0; k < n; ++k) {
         const uint8_t* px = row + static_cast<size_t>(lo + k) * 3;
         acc[0] += ws[k] * px[0];
@@ -140,11 +166,11 @@ void resize_rgb8(const uint8_t* src, int in_w, int in_h, uint8_t* dst, int out_w
     }
   }
   for (int y = 0; y < out_h; ++y) {
-    const double* ws = &wy.weights[static_cast<size_t>(y) * wy.max_count];
+    const int32_t* ws = &wy.weights[static_cast<size_t>(y) * wy.max_count];
     int lo = wy.xmin[y], n = wy.count[y];
     uint8_t* drow = dst + static_cast<size_t>(y) * out_w * 3;
     for (int x = 0; x < out_w; ++x) {
-      double acc[3] = {0, 0, 0};
+      int32_t acc[3] = {0, 0, 0};
       for (int k = 0; k < n; ++k) {
         const uint8_t* px = tmp.data() + (static_cast<size_t>(lo + k) * out_w + x) * 3;
         acc[0] += ws[k] * px[0];
@@ -161,10 +187,13 @@ void resize_rgb8(const uint8_t* src, int in_w, int in_h, uint8_t* dst, int out_w
 // One image end-to-end into a preallocated (crop_h, crop_w, 3) float32 buffer.
 int process_one(const uint8_t* jpeg, size_t len, int resize_w, int resize_h,
                 int crop_left, int crop_top, int crop_w, int crop_h,
-                const float* mean, const float* stddev, float* out) {
+                const float* mean, const float* stddev, float* out,
+                int fast_scale = 0) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  if (decode_jpeg(jpeg, len, &rgb, &w, &h)) return 1;
+  if (decode_jpeg(jpeg, len, &rgb, &w, &h,
+                  fast_scale ? resize_w : 0, fast_scale ? resize_h : 0))
+    return 1;
   std::vector<uint8_t> resized;
   const uint8_t* base = rgb.data();
   int base_w = w, base_h = h;
@@ -200,14 +229,14 @@ extern "C" {
 int fp_decode_batch(int n, const uint8_t** jpegs, const size_t* lens, int resize_w,
                     int resize_h, int crop_left, int crop_top, int crop_w,
                     int crop_h, const float* mean, const float* stddev, float* out,
-                    int n_threads) {
+                    int n_threads, int fast_scale) {
   std::atomic<int> next(0), failures(0);
   size_t stride = static_cast<size_t>(crop_h) * crop_w * 3;
   auto worker = [&]() {
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
       float* dst = out + stride * i;
       if (process_one(jpegs[i], lens[i], resize_w, resize_h, crop_left, crop_top,
-                      crop_w, crop_h, mean, stddev, dst)) {
+                      crop_w, crop_h, mean, stddev, dst, fast_scale)) {
         std::memset(dst, 0, stride * sizeof(float));
         failures.fetch_add(1);
       }

@@ -234,6 +234,10 @@ _C.DATASET.LABEL_CACHE_DIR = ''  # cache rasterised BEV labels on disk ('' = off
 # The warp is a pure function of (labels, future_egomotion) — same math, run
 # in idle host time. Off by default (parity with the reference's in-step warp).
 _C.DATASET.PREWARP_LABELS = False
+# DCT-domain scaled JPEG decode (native pipe scale_num/8, PIL Image.draft):
+# decodes at the smallest ratio covering resize_dims before the antialiased
+# resize — approximate vs the full-res reference decode, off the parity path
+_C.DATASET.FAST_DECODE = False
 
 _C.TIME_RECEPTIVE_FIELD = 3
 _C.N_FUTURE_FRAMES = 4

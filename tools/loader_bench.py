@@ -47,12 +47,13 @@ def ensure_tree(dataroot, samples):
                     dataroot, '--samples', str(samples)], check=True)
 
 
-def make_cfg(dataroot, workers, prewarp, batch):
+def make_cfg(dataroot, workers, prewarp, batch, fast_decode=False):
     from fiery_tpu.utils.config import get_cfg
     return get_cfg(cfg_dict={
         'BATCHSIZE': batch, 'N_WORKERS': workers,
         'DATASET': {'NAME': 'nuscenes', 'DATAROOT': dataroot,
-                    'VERSION': 'mini', 'PREWARP_LABELS': prewarp},
+                    'VERSION': 'mini', 'PREWARP_LABELS': prewarp,
+                    'FAST_DECODE': fast_decode},
     })
 
 
@@ -131,6 +132,9 @@ def main():
                     help='comma list; 0 = in-process (no pool)')
     ap.add_argument('--no-native', action='store_true',
                     help='disable the C++ image pipe (PIL fallback A/B)')
+    ap.add_argument('--fast-decode', action='store_true',
+                    help='DATASET.FAST_DECODE: DCT-domain scaled JPEG decode '
+                         '(approximate, ~1.8x the image pipeline)')
     ap.add_argument('--prewarp', action='store_true',
                     help='include the host label pre-warp in the pipeline')
     args = ap.parse_args()
@@ -141,14 +145,17 @@ def main():
 
     result = {'native_pipe': not args.no_native, 'prewarp': args.prewarp,
               'nproc': os.cpu_count()}
-    cfg0 = make_cfg(args.dataroot, 0, args.prewarp, args.batch)
+    result['fast_decode'] = args.fast_decode
+    cfg0 = make_cfg(args.dataroot, 0, args.prewarp, args.batch,
+                    args.fast_decode)
     result['stage_breakdown'] = stage_breakdown(cfg0)
     print(json.dumps({'stage_breakdown': result['stage_breakdown']}),
           flush=True)
 
     result['loader_clips_per_sec'] = {}
     for w in [int(x) for x in args.workers.split(',')]:
-        cfg = make_cfg(args.dataroot, w, args.prewarp, args.batch)
+        cfg = make_cfg(args.dataroot, w, args.prewarp, args.batch,
+                       args.fast_decode)
         rate = loader_rate(cfg, args.batches)
         result['loader_clips_per_sec'][f'workers_{w}'] = rate
         print(f'workers={w}: {rate} clips/s', flush=True)

@@ -225,6 +225,28 @@ def resize_bilinear(x, out_hw):
     return jax.image.resize(x, shape, method='linear')
 
 
+def max_pool_2x2(x):
+    """Non-overlapping 2x2 max pool via reshape+max.
+
+    Forward-identical to nn.max_pool((2,2),(2,2)) (the reference Bottleneck
+    skip's MaxPool2d, convolutions.py:165-167), but the VJP is an elementwise
+    equality-select instead of the select_and_scatter lowering reduce_window
+    takes on TPU. MEASURED NEUTRAL (r5 ABAB on the full train step:
+    302.5/304.1/302.7/302.9 ms) — the ~1.5 ms/call the r5 trace attributed
+    to select_and_scatter was per-op-sync distortion (same lesson as the r3
+    label-warp refutation: trace proportions overweight small ops). Default
+    stays the reduce_window lowering, whose tie-routing matches the
+    reference's MaxPool2d; FIERY_RESHAPE_MAXPOOL=1 selects the reshape form
+    (valid subgradients either way; per-window gradient sums identical).
+    """
+    import os
+    if os.environ.get('FIERY_RESHAPE_MAXPOOL', '0') != '1':
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+    h2, w2, c = x.shape[-3] // 2, x.shape[-2] // 2, x.shape[-1]
+    x = x.reshape(*x.shape[:-3], h2, 2, w2, 2, c)
+    return x.max(axis=(-2, -4))
+
+
 def upsample2x(x):
     return resize_bilinear(x, (2 * x.shape[-3], 2 * x.shape[-2]))
 
@@ -355,7 +377,7 @@ class Bottleneck(nn.Module):
             ph, pw = skip.shape[-3] % 2, skip.shape[-2] % 2
             if ph or pw:
                 skip = jnp.pad(skip, ((0, 0), (0, ph), (0, pw), (0, 0)))
-            skip = nn.max_pool(skip, (2, 2), strides=(2, 2))
+            skip = max_pool_2x2(skip)
         skip = conv2d(out_channels, 1, 1, dtype=self.dtype)(skip)
         return BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
                          post='add')(skip, train, residual=h)

@@ -463,3 +463,25 @@ def test_packed_epilogue_bit_exact(monkeypatch):
             outs.append(np.asarray(out))
         np.testing.assert_array_equal(
             outs[0], outs[1], err_msg=type(mod).__name__)
+
+
+def test_max_pool_2x2_matches_reduce_window():
+    """Reshape-max pool: forward bit-identical to nn.max_pool; gradient sum
+    per window identical (subgradient tie choice may differ — both valid)."""
+    import flax.linen as nn
+    from fiery_tpu.models.layers import max_pool_2x2
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 12, 5), jnp.float32)
+    # inject exact ties to exercise the tie path
+    x = x.at[0, 0, 0, 0].set(x[0, 0, 1, 0])
+    y_ref = nn.max_pool(x, (2, 2), strides=(2, 2))
+    y = max_pool_2x2(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+
+    g_ref = jax.grad(lambda v: jnp.sum(nn.max_pool(v, (2, 2),
+                                                   strides=(2, 2)) ** 2))(x)
+    g = jax.grad(lambda v: jnp.sum(max_pool_2x2(v) ** 2))(x)
+    # per-window gradient sums agree even at ties
+    def wsum(t):
+        return np.asarray(t).reshape(2, 4, 2, 6, 2, 5).sum(axis=(2, 4))
+    np.testing.assert_allclose(wsum(g), wsum(g_ref), rtol=1e-6, atol=1e-6)

@@ -11,20 +11,37 @@ def main(train_json, act_json=None):
     with open(train_json) as f:
         tr = json.load(f)
     res = tr['results']
-    dense = res['dense']['eval_dense_parity']
-    print(f"Trained from one shared init for {tr['steps']} steps on the "
-          f"learnable synthetic set ({tr['n_train']} train / {tr['n_val']} val "
-          f"scripted scenes), evaluated with the full protocol (zero-noise, "
-          f"host instance matching):\n")
-    print('| trained with | served with its own config (IoU / VPQ) | '
-          'served dense (IoU / VPQ) |')
-    print('|---|---|---|')
-    for mode, row in res.items():
-        if mode == 'dense_trained_cross_serving':
-            continue
-        m, d = row['eval_matched'], row['eval_dense_parity']
-        print(f"| {mode} | {fmt(m['iou'])} / {fmt(m['vpq'])} "
-              f"| {fmt(d['iou'])} / {fmt(d['vpq'])} |")
+    multi_seed = 'per_seed' in res['dense']   # round-5 multi-seed schema
+    if multi_seed:
+        dense = res['dense']['per_seed'][0]['eval_dense_parity']
+        seeds = tr.get('seeds', [0])
+        print(f"Trained for {tr['steps']} steps x {len(seeds)} seeds on the "
+              f"learnable synthetic set ({tr['n_train']} train / "
+              f"{tr['n_val']} val scripted scenes), full eval protocol "
+              f"(zero-noise, host instance matching); mean +- seed sd:\n")
+        print('| trained with | IoU mean +- sd | VPQ mean +- sd |')
+        print('|---|---|---|')
+        for mode, row in res.items():
+            if mode == 'dense_trained_cross_serving':
+                continue
+            i, v = row['iou_matched'], row['vpq_matched']
+            print(f"| {mode} | {fmt(i['mean'])} +- {fmt(i['sd'])} "
+                  f"| {fmt(v['mean'])} +- {fmt(v['sd'])} |")
+    else:
+        dense = res['dense']['eval_dense_parity']
+        print(f"Trained from one shared init for {tr['steps']} steps on the "
+              f"learnable synthetic set ({tr['n_train']} train / {tr['n_val']} "
+              f"val scripted scenes), evaluated with the full protocol "
+              f"(zero-noise, host instance matching):\n")
+        print('| trained with | served with its own config (IoU / VPQ) | '
+              'served dense (IoU / VPQ) |')
+        print('|---|---|---|')
+        for mode, row in res.items():
+            if mode == 'dense_trained_cross_serving':
+                continue
+            m, d = row['eval_matched'], row['eval_dense_parity']
+            print(f"| {mode} | {fmt(m['iou'])} / {fmt(m['vpq'])} "
+                  f"| {fmt(d['iou'])} / {fmt(d['vpq'])} |")
     print('\nDense-trained checkpoint cross-served with each lever '
           '(the pure serving-lever case):\n')
     print('| served with | IoU | VPQ | ΔIoU vs dense-served |')

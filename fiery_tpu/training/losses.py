@@ -133,8 +133,20 @@ def segmentation_loss(prediction, target, class_weights, ignore_index=255,
 
     logp = jax.nn.log_softmax(prediction, axis=-1)
     tgt = jnp.clip(target, 0, prediction.shape[-1] - 1)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    weights = class_weights[tgt]
+    # One-hot contraction instead of take_along_axis / table lookup: per-pixel
+    # row gathers over b*s*h*w rows run at the ~55M rows/s transaction floor
+    # (the r5 trace billed this gather ~29 ms, trace-inflated but real), while
+    # for the 2-class head an elementwise select is pure bandwidth. Exact:
+    # one-hot rows are exact {0,1} and logp/class_weights are finite.
+    # FIERY_ONEHOT_CE=0 restores the gather lowering (A/B).
+    import os
+    if os.environ.get('FIERY_ONEHOT_CE', '1') == '1':
+        onehot = jax.nn.one_hot(tgt, prediction.shape[-1], dtype=logp.dtype)
+        nll = -jnp.sum(logp * onehot, axis=-1)
+        weights = jnp.sum(class_weights * onehot, axis=-1)
+    else:
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        weights = class_weights[tgt]
     valid = (target != ignore_index)
     loss = jnp.where(valid, nll * weights, 0.0)               # (b, s, h, w)
 

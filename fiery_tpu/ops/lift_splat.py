@@ -214,7 +214,10 @@ def _kth_largest_bits(u, k, nbits):
         cnt_ge = jnp.cumsum(hist[..., ::-1], axis=-1)[..., ::-1]
         bstar = jnp.sum((cnt_ge >= rank).astype(jnp.int32), axis=-1,
                         keepdims=True) - 1                   # largest bucket >= rank
-        cnt_gt = jnp.take_along_axis(cnt_ge - hist, bstar, axis=-1)
+        # 16-lane one-hot select instead of take_along_axis: the per-pixel
+        # row gather runs at the transaction floor; this is pure bandwidth
+        cnt_gt = jnp.sum(jnp.where(buckets == bstar, cnt_ge - hist, 0),
+                         axis=-1, keepdims=True)
         rank = rank - cnt_gt
         prefix = prefix | (bstar.astype(u.dtype) << jnp.asarray(shift, u.dtype))
     return prefix

@@ -39,7 +39,11 @@ def _kth_largest(x, k):
         cnt_ge = jnp.cumsum(hist[..., ::-1], axis=-1)[..., ::-1]
         bstar = jnp.sum((cnt_ge >= rank).astype(jnp.int32), axis=-1,
                         keepdims=True) - 1                 # largest j: cnt_ge >= rank
-        cnt_gt = jnp.take_along_axis(cnt_ge - hist, bstar, axis=-1)
+        # 16-lane one-hot select instead of take_along_axis (pure bandwidth;
+        # same trick as segmentation_loss's one-hot CE)
+        cnt_gt = jnp.sum(
+            jnp.where(buckets.astype(jnp.int32) == bstar, cnt_ge - hist, 0),
+            axis=-1, keepdims=True)
         rank = rank - cnt_gt
         prefix = prefix | (bstar.astype(jnp.uint32) << jnp.uint32(shift))
     out = jnp.where((prefix >> 31) == 1, prefix ^ jnp.uint32(0x80000000), ~prefix)
